@@ -1,0 +1,119 @@
+"""The fused on-device augmentation pipeline.
+
+One jitted function per (patch geometry, params) combination applies the full moreDA
+transform chain (data_augmentation_moreDA.py:41-209) to a batch on the accelerator:
+
+  spatial warp (rot/scale/center-crop) -> noise -> blur -> brightness -> contrast ->
+  lowres sim -> gamma(inv) -> gamma -> mirror -> mask-norm zeroing ->
+  remove -1 label -> deep-supervision seg targets
+
+Input comes from the host PatchSampler as channels-first (B, C, Z', Y', X') float32
+(the storage layout); the pipeline transposes once to channels-last for the model.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multitalent_tpu.augment import intensity as I
+from multitalent_tpu.augment import spatial as S
+
+
+def ds_scales_from_pools(pool_op_kernel_sizes) -> list[list[float]]:
+    """Deep-supervision target scales: identity plus cumulative inverse pool strides,
+    dropping the deepest level (nnUNetTrainerV2.setup_DA_params)."""
+    cum = np.cumprod(np.vstack(pool_op_kernel_sizes), axis=0)
+    return [[1.0, 1.0, 1.0]] + (1.0 / cum).tolist()[:-1]
+
+
+def make_augment_fn(final_patch_size, ds_scales, params, num_modalities: int = 1):
+    """Returns augment(rng, data_bc, seg_b1) -> (data BZYXC, [seg targets B,z,y,x])."""
+    final_shape = tuple(int(s) for s in final_patch_size)
+    rot_x = tuple(params["rotation_x"])
+    rot_y = tuple(params["rotation_y"])
+    rot_z = tuple(params["rotation_z"])
+    scale_range = tuple(params["scale_range"])
+    mirror_axes = tuple(params.get("mirror_axes", (0, 1, 2)))
+    do_mirror = bool(params.get("do_mirror", True))
+    order_seg = int(params.get("order_seg", 1))
+    dummy_2d = bool(params.get("dummy_2D", False))
+    mask_norm = params.get("mask_was_used_for_normalization")
+    use_mask_any = bool(mask_norm) and any(bool(v) for v in dict(mask_norm).values())
+    ds_scales = [tuple(s) for s in ds_scales]
+
+    @jax.jit
+    def augment(rng, data_bc, seg_b1):
+        # (B, C, Z', Y', X') -> (B, Z', Y', X', C); seg -> (B, Z', Y', X')
+        data = jnp.moveaxis(data_bc, 1, -1).astype(jnp.float32)
+        seg = seg_b1[:, 0].astype(jnp.float32)
+
+        keys = jax.random.split(rng, 9)
+        data, seg = S.spatial_augment(
+            keys[0], data, seg, final_shape, scale_range=scale_range,
+            rot_x=rot_x, rot_y=rot_y, rot_z=rot_z,
+            p_rot=params.get("p_rot", 0.2), p_scale=params.get("p_scale", 0.2),
+            order_seg=order_seg, dummy_2d=dummy_2d)
+
+        data = I.gaussian_noise(keys[1], data, p=params.get("p_gaussian_noise", 0.1),
+                                variance=tuple(params.get("gaussian_noise_variance", (0, 0.1))))
+        data = I.gaussian_blur(keys[2], data, p=params.get("p_gaussian_blur", 0.2),
+                               p_per_channel=params.get("p_blur_per_channel", 0.5),
+                               sigma_range=tuple(params.get("gaussian_blur_sigma", (0.5, 1.0))))
+        data = I.brightness_multiplicative(
+            keys[3], data, p=params.get("p_brightness_mult", 0.15),
+            mult_range=tuple(params.get("brightness_mult_range", (0.75, 1.25))))
+        data = I.contrast_augmentation(
+            keys[4], data, p=params.get("p_contrast", 0.15),
+            contrast_range=tuple(params.get("contrast_range", (0.75, 1.25))))
+        data = I.simulate_low_resolution(
+            keys[5], data, p=params.get("p_lowres", 0.25),
+            p_per_channel=params.get("p_lowres_per_channel", 0.5),
+            zoom_range=tuple(params.get("lowres_zoom_range", (0.5, 1.0))))
+        if params.get("do_gamma", True):
+            data = I.gamma_augmentation(keys[6], data,
+                                        p=params.get("p_gamma_invert", 0.1),
+                                        gamma_range=tuple(params.get("gamma_range", (0.7, 1.5))),
+                                        invert=True)
+            data = I.gamma_augmentation(keys[7], data, p=params.get("p_gamma", 0.3),
+                                        gamma_range=tuple(params.get("gamma_range", (0.7, 1.5))),
+                                        invert=False)
+        if do_mirror:
+            data, seg = S.mirror_augment(keys[8], data, seg, mirror_axes=mirror_axes)
+
+        if use_mask_any:
+            # MaskTransform: zero image voxels outside the nonzero-mask (seg == -1)
+            data = jnp.where((seg == -1)[..., None], 0.0, data)
+
+        seg = jnp.where(seg == -1, 0.0, seg)  # RemoveLabelTransform(-1 -> 0)
+        targets = S.downsample_seg_for_ds(seg, ds_scales)
+        return data, targets
+
+    return augment
+
+
+def make_val_transform_fn(final_patch_size, ds_scales, params, num_modalities: int = 1):
+    """Validation-path transform: center crop + mask/remove-label + DS targets only
+    (the reference's val pipeline applies no stochastic transforms)."""
+    final_shape = tuple(int(s) for s in final_patch_size)
+    mask_norm = params.get("mask_was_used_for_normalization")
+    use_mask_any = bool(mask_norm) and any(bool(v) for v in dict(mask_norm).values())
+    ds_scales = [tuple(s) for s in ds_scales]
+
+    @jax.jit
+    def transform(data_bc, seg_b1):
+        data = jnp.moveaxis(data_bc, 1, -1).astype(jnp.float32)
+        seg = seg_b1[:, 0].astype(jnp.float32)
+        # center crop to final shape
+        starts = [(data.shape[i + 1] - final_shape[i]) // 2 for i in range(3)]
+        sl = (slice(None),) + tuple(slice(s, s + f) for s, f in zip(starts, final_shape))
+        data = data[sl]
+        seg = seg[sl]
+        if use_mask_any:
+            data = jnp.where((seg == -1)[..., None], 0.0, data)
+        seg = jnp.where(seg == -1, 0.0, seg)
+        return data, S.downsample_seg_for_ds(seg, ds_scales)
+
+    return transform

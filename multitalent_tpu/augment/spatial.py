@@ -1,0 +1,121 @@
+"""On-device batched spatial augmentation: one fused affine warp per sample
+(rotation + scaling + center crop), replacing batchgenerators' SpatialTransform.
+
+The enlarged host-sampled patch (B, Z', Y', X', C) is warped/cropped to the final
+patch (B, Z, Y, X, C) in a single gather: output-grid coordinates are rotated, scaled
+and re-centered, then sampled with jax.scipy.ndimage.map_coordinates (trilinear for
+data, constant cval 0; nearest or trilinear-then-round for seg, cval -1).
+
+Parity notes vs SpatialTransform (batchgenerators, configured by
+data_augmentation_moreDA.py:66-111): same coordinate convention (centered grid,
+coords scaled THEN rotated, scale>1 zooms out), same per-sample application
+probabilities; interpolation is trilinear instead of cubic (TPU-native choice — the
+64-tap cubic gather is not worth the HBM traffic for augmentation noise).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def rotation_matrix_3d(ax, ay, az):
+    """R = Rx @ Ry @ Rz, matching batchgenerators' create_matrix_rotation_*_3d order."""
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rx @ ry @ rz
+
+
+def _centered_grid(shape):
+    """(3, Z*Y*X) coordinates centered on the patch center."""
+    axes = [jnp.arange(s, dtype=jnp.float32) - (s - 1) / 2.0 for s in shape]
+    zz, yy, xx = jnp.meshgrid(*axes, indexing="ij")
+    return jnp.stack([zz.ravel(), yy.ravel(), xx.ravel()])
+
+
+def _warp_volume(vol, coords, order, cval):
+    """vol (Z', Y', X'); coords (3, N) in input index space."""
+    out = jax.scipy.ndimage.map_coordinates(vol, [coords[0], coords[1], coords[2]],
+                                            order=order, mode="constant", cval=cval)
+    return out
+
+
+@partial(jax.jit, static_argnames=("final_shape", "order_seg", "dummy_2d"))
+def spatial_augment(rng, data, seg, final_shape, scale_range=(0.7, 1.4),
+                    rot_x=(-0.5236, 0.5236), rot_y=(-0.5236, 0.5236),
+                    rot_z=(-0.5236, 0.5236), p_rot=0.2, p_scale=0.2,
+                    order_seg=1, dummy_2d=False):
+    """data (B, Z', Y', X', C) float; seg (B, Z', Y', X') float (labels, -1 border).
+    Returns (data_out (B, *final_shape, C), seg_out (B, *final_shape))."""
+    b = data.shape[0]
+    in_shape = data.shape[1:4]
+    k_rot, k_scale, k_angles = jax.random.split(rng, 3)
+
+    do_rot = jax.random.uniform(k_rot, (b,)) < p_rot
+    do_scale = jax.random.uniform(k_scale, (b,)) < p_scale
+    ka_x, ka_y, ka_z, k_s = jax.random.split(k_angles, 4)
+    ax = jax.random.uniform(ka_x, (b,), minval=rot_x[0], maxval=rot_x[1])
+    ay = jax.random.uniform(ka_y, (b,), minval=rot_y[0], maxval=rot_y[1])
+    az = jax.random.uniform(ka_z, (b,), minval=rot_z[0], maxval=rot_z[1])
+    if dummy_2d:
+        # in-plane rotation only: rotate about the z (first) axis
+        ay = jnp.zeros_like(ay)
+        az = jnp.zeros_like(az)
+    ax = jnp.where(do_rot, ax, 0.0)
+    ay = jnp.where(do_rot, ay, 0.0)
+    az = jnp.where(do_rot, az, 0.0)
+    # batchgenerators samples zoom-in (<1) and zoom-out (>1) with equal probability
+    k_s1, k_s2, k_s3 = jax.random.split(k_s, 3)
+    lo = jax.random.uniform(k_s1, (b,), minval=scale_range[0], maxval=1.0)
+    hi = jax.random.uniform(k_s2, (b,), minval=1.0, maxval=scale_range[1])
+    pick_lo = jax.random.uniform(k_s3, (b,)) < 0.5
+    scale = jnp.where(pick_lo, lo, hi)
+    scale = jnp.where(do_scale, scale, 1.0)
+
+    grid = _centered_grid(final_shape)  # (3, N)
+    center_in = jnp.array([(s - 1) / 2.0 for s in in_shape], jnp.float32)
+
+    def warp_one(d, s, a1, a2, a3, sc):
+        r = rotation_matrix_3d(a1, a2, a3)
+        coords = (r @ (grid * sc)) + center_in[:, None]
+        d_out = jax.vmap(lambda v: _warp_volume(v, coords, 1, 0.0), in_axes=-1,
+                         out_axes=-1)(d)
+        s_out = _warp_volume(s, coords, order_seg, -1.0)
+        if order_seg != 0:
+            s_out = jnp.round(s_out)
+        return (d_out.reshape(final_shape + (d.shape[-1],)),
+                s_out.reshape(final_shape))
+
+    data_out, seg_out = jax.vmap(warp_one)(data, seg, ax, ay, az, scale)
+    return data_out, seg_out
+
+
+def mirror_augment(rng, data, seg, mirror_axes=(0, 1, 2)):
+    """Random flips along spatial axes, p=0.5 each, jointly on data+seg
+    (MirrorTransform parity). data (B, Z, Y, X, C), seg (B, Z, Y, X)."""
+    b = data.shape[0]
+    keys = jax.random.split(rng, len(mirror_axes))
+    for ki, ax in zip(keys, mirror_axes):
+        flip = jax.random.uniform(ki, (b,)) < 0.5
+        axis = ax + 1  # batch offset
+        data = jnp.where(flip.reshape((b,) + (1,) * (data.ndim - 1)),
+                         jnp.flip(data, axis=axis), data)
+        seg = jnp.where(flip.reshape((b,) + (1,) * (seg.ndim - 1)),
+                        jnp.flip(seg, axis=axis), seg)
+    return data, seg
+
+
+def downsample_seg_for_ds(seg, ds_scales):
+    """Nearest-downsampled label targets per deep-supervision level. seg (B, Z, Y, X);
+    scales are 1/2^k per axis so strided slicing is exact nearest sampling
+    (DownsampleSegForDSTransform2 role)."""
+    out = []
+    for scale in ds_scales:
+        strides = [int(round(1.0 / s)) for s in scale]
+        out.append(seg[:, ::strides[0], ::strides[1], ::strides[2]])
+    return out
