@@ -89,17 +89,13 @@ def make_masked_optimizer(inner: optax.GradientTransformation, mask_fn):
     gradient is zeroed (the head-warmup trains `seg_outputs` only,
     nnUNetTrainerV2_warmup.py:119-130)."""
 
-    def mask_tree(params):
-        flat = jax.tree_util.tree_flatten_with_path(params)
-        paths = {jax.tree_util.keystr(p): mask_fn(jax.tree_util.keystr(p), v)
-                 for p, v in flat[0]}
+    def label_tree(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, v: "train" if mask_fn(jax.tree_util.keystr(path), v)
+            else "freeze", params)
 
-        def lookup(path, _v):
-            return paths[jax.tree_util.keystr(path)]
-
-        return jax.tree_util.tree_map_with_path(lookup, params)
-
-    return optax.masked(inner, mask_tree)
+    return optax.multi_transform({"train": inner, "freeze": optax.set_to_zero()},
+                                 label_tree)
 
 
 def global_grad_norm(grads) -> jnp.ndarray:

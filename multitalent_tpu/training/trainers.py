@@ -236,16 +236,34 @@ class TrainerV2(NetworkTrainerBase):
 
     # ------------------------------------------------------------ loss plumbing
     def loss_fn(self, outputs, targets, extras: dict):
-        """Deep-supervised DC+CE (overridden by MultiTalent)."""
+        """Deep-supervised DC+CE. Returns (scalar loss, aux metrics dict); aux values
+        are logged per-iteration (MultiTalent adds its ce/dice components here)."""
         weights = [float(w) for w in self.ds_loss_weights]  # static: skips w==0 levels
-        return deep_supervision_loss(
+        loss = deep_supervision_loss(
             outputs, targets,
             partial(dc_and_ce_loss, batch_dice=self.batch_dice), weights)
+        return loss, {}
 
     def batch_extras(self, batch: dict) -> dict:
         """Additional device arrays derived from the host batch (e.g. MultiTalent's
         valid-region mask). Keys must be stable across iterations (static pytree)."""
         return {}
+
+    def eval_stats(self, outputs, targets, extras):
+        """Online foreground-dice statistics, traced inside the jitted eval step
+        (nnUNetTrainerV2.run_online_evaluation, nnUNetTrainerV2.py:196-223): hard
+        argmax vs. the full-res DS target, per-class tp/fp/fn summed over batch+space
+        (a psum across devices when the batch is sharded)."""
+        num_classes = self.num_classes
+        pred = jnp.argmax(outputs[0], axis=-1)
+        y = targets[0].astype(jnp.int32)
+        axes = tuple(range(pred.ndim))
+        pred_oh = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)[..., 1:]
+        y_oh = jax.nn.one_hot(y, num_classes, dtype=jnp.float32)[..., 1:]
+        tp = jnp.sum(pred_oh * y_oh, axis=axes)
+        fp = jnp.sum(pred_oh * (1 - y_oh), axis=axes)
+        fn = jnp.sum((1 - pred_oh) * y_oh, axis=axes)
+        return tp, fp, fn
 
     # -------------------------------------------------------------- jitted steps
     def _build_step_functions(self) -> None:
@@ -264,7 +282,6 @@ class TrainerV2(NetworkTrainerBase):
             self.patch_size, self.deep_supervision_scales, self.data_aug_params,
             self.num_input_channels)
         model = self.network
-        num_classes = self.num_classes
 
         def train_step(state, rng, data_bc, seg_b1, extras):
             data, targets = augment(rng, data_bc, seg_b1)
@@ -273,26 +290,15 @@ class TrainerV2(NetworkTrainerBase):
                 outputs = model.apply({"params": params}, data, deterministic=False)
                 return self.loss_fn(outputs, targets, extras)
 
-            loss, grads = jax.value_and_grad(compute)(state.params)
+            (loss, aux), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
             state = state.apply_gradients(grads)
-            return state, loss
+            return state, loss, aux
 
         def eval_step(state, data_bc, seg_b1, extras):
             data, targets = val_transform(data_bc, seg_b1)
             outputs = model.apply({"params": state.params}, data, deterministic=True)
-            loss = self.loss_fn(outputs, targets, extras)
-            # online foreground dice statistics (nnUNetTrainerV2.py:196-223):
-            # hard argmax vs. the full-res DS target, per-class tp/fp/fn summed over
-            # batch+space (a psum across devices when the batch is sharded)
-            pred = jnp.argmax(outputs[0], axis=-1)
-            y = targets[0].astype(jnp.int32)
-            axes = tuple(range(pred.ndim))
-            pred_oh = jax.nn.one_hot(pred, num_classes, dtype=jnp.float32)[..., 1:]
-            y_oh = jax.nn.one_hot(y, num_classes, dtype=jnp.float32)[..., 1:]
-            tp = jnp.sum(pred_oh * y_oh, axis=axes)
-            fp = jnp.sum(pred_oh * (1 - y_oh), axis=axes)
-            fn = jnp.sum((1 - pred_oh) * y_oh, axis=axes)
-            return loss, (tp, fp, fn)
+            loss, aux = self.loss_fn(outputs, targets, extras)
+            return loss, aux, self.eval_stats(outputs, targets, extras)
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
@@ -347,12 +353,16 @@ class TrainerV2(NetworkTrainerBase):
         data, seg = self._put_batch((data, seg))
         if do_backprop:
             self._iter_rng, rng = jax.random.split(self._iter_rng)
-            self.state, loss = self._train_step(self.state, rng, data, seg, extras)
-            return float(loss)
-        loss, stats = self._eval_step(self.state, data, seg, extras)
-        if run_online_evaluation:
-            self.run_online_evaluation(stats)
+            self.state, loss, aux = self._train_step(self.state, rng, data, seg, extras)
+        else:
+            loss, aux, stats = self._eval_step(self.state, data, seg, extras)
+            if run_online_evaluation:
+                self.run_online_evaluation(stats)
+        self.on_iteration_metrics(aux, do_backprop)
         return float(loss)
+
+    def on_iteration_metrics(self, aux: dict, was_train: bool) -> None:
+        """Hook for per-iteration aux-metric logging (MultiTalent ce/dice)."""
 
     # --------------------------------------------------------------- online eval
     def run_online_evaluation(self, stats) -> None:
