@@ -1,0 +1,170 @@
+"""Sliding-window engine tests.
+
+Step-grid cases follow the reference's only unit test
+(tests/test_steps_for_sliding_window_prediction.py): pinned hand-verified grids +
+property tests over random combinations, plus functional equivalence of the tiled
+jitted predictor against a dense whole-volume forward."""
+import numpy as np
+import pytest
+
+from multitalent_tpu.ops.sliding_window import (SlidingWindowPredictor,
+                                                bucket_num_tiles,
+                                                compute_steps_for_sliding_window,
+                                                get_gaussian_importance_map,
+                                                mirror_combinations, pad_to_patch,
+                                                segmentation_from_probabilities)
+
+
+def _verify_steps(steps, patch_size, image_size, step_size):
+    for dim in range(len(steps)):
+        s = steps[dim]
+        assert s[0] == 0
+        assert s[-1] + patch_size[dim] == image_size[dim] or len(s) == 1
+        if len(s) == 1:
+            assert patch_size[dim] == image_size[dim] or s[0] + patch_size[dim] >= image_size[dim]
+        for i in range(1, len(s)):
+            # no gaps, spacing <= target step
+            assert s[i] <= s[i - 1] + patch_size[dim]
+            assert s[i] - s[i - 1] <= patch_size[dim] * step_size + 1
+
+
+def test_manually_verified_step_grids():
+    assert compute_steps_for_sliding_window((64, 130), (128, 260), 0.5) == \
+        [[0, 32, 64], [0, 65, 130]]
+    assert compute_steps_for_sliding_window((64, 130), (128, 260), 1.0) == \
+        [[0, 64], [0, 130]]
+    assert compute_steps_for_sliding_window((128, 128, 128), (146, 176, 148), 0.5) == \
+        [[0, 18], [0, 48], [0, 20]]
+    assert compute_steps_for_sliding_window((80, 192, 160), (130, 320, 244), 0.5) == \
+        [[0, 25, 50], [0, 64, 128], [0, 42, 84]]
+    assert compute_steps_for_sliding_window((80, 192, 160), (130, 320, 244), 0.75) == \
+        [[0, 50], [0, 128], [0, 84]]
+    assert compute_steps_for_sliding_window((128,) * 3, (424, 456, 456), 0.5) == \
+        [[0, 59, 118, 178, 237, 296],
+         [0, 55, 109, 164, 219, 273, 328],
+         [0, 55, 109, 164, 219, 273, 328]]
+    assert compute_steps_for_sliding_window((40, 56, 40), (40, 56, 40), 0.5) == \
+        [[0], [0], [0]]
+    assert compute_steps_for_sliding_window((64, 192, 192), (94, 308, 308), 0.5) == \
+        [[0, 30], [0, 58, 116], [0, 58, 116]]
+
+
+def test_random_step_grid_invariants():
+    rng = np.random.RandomState(0)
+    for _ in range(500):
+        dim = rng.choice((2, 3))
+        patch_size = tuple(rng.randint(16, 256, dim))
+        image_size = tuple(max(rng.randint(i // 2, i * 4), i) for i in patch_size)
+        step_size = rng.uniform(0.01, 1)
+        steps = compute_steps_for_sliding_window(patch_size, image_size, step_size)
+        _verify_steps(steps, patch_size, image_size, step_size)
+
+
+def test_gaussian_importance_map():
+    g = get_gaussian_importance_map((8, 8, 8))
+    assert g.shape == (8, 8, 8)
+    assert np.isclose(g.max(), 1.0)
+    assert (g > 0).all()
+    # maximum at the center voxel
+    assert g[4, 4, 4] == g.max()
+
+
+def test_pad_to_patch_roundtrip():
+    vol = np.random.RandomState(0).randn(5, 9, 17, 2).astype(np.float32)
+    padded, slicer = pad_to_patch(vol, (8, 8, 8))
+    assert padded.shape == (8, 9, 17, 2)
+    np.testing.assert_array_equal(padded[tuple(slicer) + (slice(None),)], vol)
+
+
+def test_mirror_combinations():
+    assert mirror_combinations(()) == [()]
+    assert len(mirror_combinations((0, 1, 2))) == 8
+    assert () in mirror_combinations((0, 1))
+
+
+def test_bucket_num_tiles():
+    assert bucket_num_tiles(1) == 8
+    assert bucket_num_tiles(8) == 8
+    assert bucket_num_tiles(9) == 16
+    assert bucket_num_tiles(100) == 128
+
+
+def test_tiled_predictor_matches_dense_linear_model():
+    """With a translation-equivariant voxelwise model, gaussian-weighted tiling must
+    reproduce the dense result exactly (weights cancel in the normalization)."""
+    import jax.numpy as jnp
+
+    w = jnp.asarray(np.random.RandomState(1).randn(2, 3).astype(np.float32))
+
+    def apply_fn(params, batch):
+        return batch @ params  # (B, Z, Y, X, 2) -> (B, Z, Y, X, 3)
+
+    pred = SlidingWindowPredictor(apply_fn, (8, 8, 8), in_channels=2, num_classes=3,
+                                  nonlin="softmax", step_size=0.5,
+                                  do_mirroring=False, use_gaussian=True)
+    vol = np.random.RandomState(2).randn(2, 11, 14, 9).astype(np.float32)
+    out = pred(w, vol)
+    assert out.shape == (3, 11, 14, 9)
+
+    import jax
+    dense = jax.nn.softmax(
+        jnp.moveaxis(jnp.asarray(vol), 0, -1) @ w, axis=-1)
+    dense = np.moveaxis(np.asarray(dense), -1, 0)
+    np.testing.assert_allclose(out, dense, atol=1e-5)
+    # probabilities sum to one everywhere
+    np.testing.assert_allclose(out.sum(0), 1.0, atol=1e-5)
+
+
+def test_tiled_predictor_mirror_tta_symmetric_model():
+    """Mirror TTA with a flip-equivariant (voxelwise) model must equal no-TTA."""
+    import jax.numpy as jnp
+    w = jnp.asarray(np.random.RandomState(1).randn(1, 2).astype(np.float32))
+
+    def apply_fn(params, batch):
+        return batch @ params
+
+    base = dict(patch_size=(8, 8, 8), in_channels=1, num_classes=2,
+                nonlin="sigmoid", step_size=0.5, use_gaussian=True)
+    vol = np.random.RandomState(3).randn(1, 10, 10, 10).astype(np.float32)
+    with_tta = SlidingWindowPredictor(apply_fn, do_mirroring=True, **base)(w, vol)
+    without = SlidingWindowPredictor(apply_fn, do_mirroring=False, **base)(w, vol)
+    np.testing.assert_allclose(with_tta, without, atol=1e-5)
+
+
+def test_segmentation_from_probabilities():
+    probs = np.zeros((3, 2, 2, 2), np.float32)
+    probs[1, 0] = 0.9
+    probs[2, 1] = 0.8
+    seg = segmentation_from_probabilities(probs)
+    assert seg.shape == (2, 2, 2)
+    assert (seg[0] == 1).all() and (seg[1] == 2).all()
+    # region mode: later channels overwrite earlier ones (regions_class_order)
+    rp = np.zeros((2, 2, 2, 2), np.float32)
+    rp[0] = 0.9  # region 0 everywhere
+    rp[1, 0] = 0.7  # region 1 on slice 0
+    seg = segmentation_from_probabilities(rp, regions_class_order=(1, 2))
+    assert (seg[0] == 2).all() and (seg[1] == 1).all()
+
+
+def test_tiled_predictor_with_real_unet():
+    """End-to-end: GenericUNet through the tiled engine produces valid shapes."""
+    import jax
+    import jax.numpy as jnp
+    from multitalent_tpu.models.generic_unet import GenericUNet
+
+    net = GenericUNet(input_channels=1, base_num_features=4, num_classes=3,
+                      pool_op_kernel_sizes=((2, 2, 2),),
+                      conv_kernel_sizes=((3, 3, 3), (3, 3, 3)),
+                      deep_supervision=False, dtype=jnp.float32)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 8, 8, 1)))["params"]
+
+    def apply_fn(p, batch):
+        return net.apply({"params": p}, batch, deep_supervision=False)
+
+    pred = SlidingWindowPredictor(apply_fn, (8, 8, 8), in_channels=1, num_classes=3,
+                                  do_mirroring=True, step_size=0.5)
+    vol = np.random.RandomState(0).randn(1, 12, 10, 9).astype(np.float32)
+    out = pred(params, vol)
+    assert out.shape == (3, 12, 10, 9)
+    np.testing.assert_allclose(np.asarray(out).sum(0), 1.0, atol=1e-4)
