@@ -1,0 +1,159 @@
+"""Headline benchmark: MultiTalent sliding-window inference volumes/min per chip.
+
+Measures the full reference inference path (predict_MultiTalent semantics:
+96x192x192 patch, 0.5 step, gaussian importance weighting, 8-way mirror TTA,
+sigmoid over 47 region channels) on one chip over a representative abdominal-CT
+volume, via the tiled scan engine in multitalent_tpu/ops/sliding_window.py.
+
+Baseline derivation (vs_baseline): the reference publishes A100-40GB-PCIe *training*
+epoch times (documentation/expected_epoch_times.md:74 — Task003_Liver 3d_fullres,
+41.49 s for 250 iterations at batch 2, patch 128^3, AMP). From that we derive the
+A100's achieved conv throughput on this workload family and convert it to
+sliding-window volumes/min for the MultiTalent configuration:
+
+  flops_train_epoch = 500 patches x (fwd + bwd) FLOPs of the Liver UNet
+                      (bwd ~ 2x fwd)
+  a100_flops_per_s  = flops_train_epoch / 41.49 s
+  baseline_vol/min  = a100_flops_per_s * 60 / flops_per_multitalent_volume
+
+This favors the A100 (assumes inference runs at full training-measured
+throughput with zero host/tiling overhead).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def unet_forward_flops(patch_size, base_features, num_pool, num_classes,
+                       in_channels=1, conv_per_stage=2, max_features=320,
+                       pool_kernels=None) -> float:
+    """Analytic forward-pass FLOPs (2*MACs) of GenericUNet: encoder + bottleneck +
+    decoder (transpconv + convs) + full-res seg head. DS heads at lower
+    resolutions are negligible and inference uses only the full-res head."""
+    if pool_kernels is None:
+        pool_kernels = [[2, 2, 2]] * num_pool
+    feats = [min(base_features * 2 ** d, max_features) for d in range(num_pool + 1)]
+    k = 27  # 3x3x3
+    total = 0.0
+    shape = np.array(patch_size, float)
+    # encoder stages 0..num_pool-1 (stage d>0 starts with a strided conv)
+    cin = in_channels
+    for d in range(num_pool):
+        if d > 0:
+            shape = shape / np.array(pool_kernels[d - 1], float)
+        vox = float(np.prod(shape))
+        total += 2 * vox * k * cin * feats[d]
+        for _ in range(conv_per_stage - 1):
+            total += 2 * vox * k * feats[d] * feats[d]
+        cin = feats[d]
+    # bottleneck
+    shape_b = shape / np.array(pool_kernels[num_pool - 1], float)
+    vox = float(np.prod(shape_b))
+    total += 2 * vox * k * cin * feats[num_pool]
+    for _ in range(conv_per_stage - 1):
+        total += 2 * vox * k * feats[num_pool] * feats[num_pool]
+    # decoder
+    cur = feats[num_pool]
+    shape = shape_b
+    for u in range(num_pool):
+        f_skip = feats[num_pool - 1 - u]
+        stride = np.array(pool_kernels[num_pool - 1 - u], float)
+        shape = shape * stride
+        vox = float(np.prod(shape))
+        total += 2 * vox * float(np.prod(stride)) * cur * f_skip / float(np.prod(stride))
+        total += 2 * vox * k * (2 * f_skip) * f_skip
+        for _ in range(conv_per_stage - 2):
+            total += 2 * vox * k * f_skip * f_skip
+        cur = f_skip
+    # full-res seg head (1x1x1)
+    total += 2 * float(np.prod(patch_size)) * cur * num_classes
+    return total
+
+
+def multitalent_volume_flops(volume_shape, patch=(96, 192, 192), step_size=0.5,
+                             tta=8) -> tuple[float, int]:
+    """Total forward FLOPs for one sliding-window volume (all tiles x TTA)."""
+    from multitalent_tpu.ops.sliding_window import compute_steps_for_sliding_window
+    padded = [max(s, p) for s, p in zip(volume_shape, patch)]
+    steps = compute_steps_for_sliding_window(patch, padded, step_size)
+    n_tiles = int(np.prod([len(s) for s in steps]))
+    per_tile = unet_forward_flops(
+        patch, base_features=30, num_pool=5, num_classes=47,
+        pool_kernels=[[2, 2, 2]] * 4 + [[1, 2, 2]])
+    return per_tile * n_tiles * tta, n_tiles
+
+
+def a100_baseline_volumes_per_min(volume_shape) -> float:
+    liver_fwd = unet_forward_flops((128, 128, 128), base_features=32, num_pool=5,
+                                   num_classes=3)
+    # 250 iters x batch 2, fwd+bwd ~ 3x fwd, 41.49 s (expected_epoch_times.md:74)
+    a100_flops_per_s = 500 * 3 * liver_fwd / 41.49
+    vol_flops, _ = multitalent_volume_flops(volume_shape)
+    return a100_flops_per_s * 60.0 / vol_flops
+
+
+def main() -> None:
+    import os
+    import sys
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        # accelerator backend unreachable (e.g. tunnel down): rerun on CPU
+        if os.environ.get("JAX_PLATFORMS") != "cpu":
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
+
+    from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
+    from __graft_entry__ import _flagship_model
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    # representative abdominal CT at MultiTalent target spacing (1.5, 1, 1)
+    volume_shape = (256, 320, 320) if on_tpu else (96, 192, 192)
+
+    model = _flagship_model()
+    patch = (96, 192, 192)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, *patch, 1)))["params"]
+
+    def apply_fn(p, batch):
+        return model.apply({"params": p}, batch, deep_supervision=False)
+
+    predictor = SlidingWindowPredictor(
+        apply_fn, patch, in_channels=1, num_classes=47, nonlin="sigmoid",
+        step_size=0.5, do_mirroring=True, mirror_axes=(0, 1, 2),
+        use_gaussian=True)
+
+    vol = np.random.RandomState(0).randn(1, *volume_shape).astype(np.float32)
+
+    # warmup: compile + one full pass
+    predictor(params, vol)
+
+    n_repeats = 3 if on_tpu else 1
+    t0 = time.time()
+    for _ in range(n_repeats):
+        out = predictor(params, vol)
+    elapsed = (time.time() - t0) / n_repeats
+    assert out.shape == (47, *volume_shape)
+
+    volumes_per_min = 60.0 / elapsed
+    baseline = a100_baseline_volumes_per_min(volume_shape)
+    print(json.dumps({
+        "metric": "multitalent_sliding_window_volumes_per_min",
+        "value": round(volumes_per_min, 3),
+        "unit": f"volumes/min (vol {volume_shape}, patch 96x192x192, 8x TTA, "
+                f"{'tpu' if on_tpu else 'cpu-fallback'})",
+        "vs_baseline": round(volumes_per_min / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,8 @@ def bucket_num_tiles(n: int) -> int:
 
 @lru_cache(maxsize=32)
 def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
-                       mirror_axes, use_gaussian, nonlin, n_tiles_padded):
+                       mirror_axes, use_gaussian, nonlin, n_tiles_padded,
+                       tta_chunk):
     """Builds + jits the scan-over-tiles program. apply_fn_id carries the callable
     (wrapped for hashability by the caller)."""
     apply_fn = apply_fn_id.fn
@@ -106,21 +107,27 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         gauss = jnp.asarray(get_gaussian_importance_map(patch))[..., None]
     else:
         gauss = jnp.ones(patch, jnp.float32)[..., None]
+    # flip combos are processed in batched chunks: full batching is fastest but a
+    # (96,192,192,47) fp32 prob tensor x8 TTA plus the HBM accumulator overflows a
+    # 16G chip, so the chunk size bounds live activation memory
+    chunk = max(1, min(int(tta_chunk), len(combos)))
+    combo_chunks = [combos[i:i + chunk] for i in range(0, len(combos), chunk)]
 
     def forward_tta(params, tile):
-        # one batched forward over all flip combos; flip back and average
-        batch = jnp.stack(
-            [jnp.flip(tile, axis=c) if c else tile for c in combos], axis=0)
-        logits = apply_fn(params, batch).astype(jnp.float32)
-        if nonlin == "softmax":
-            probs = jax.nn.softmax(logits, axis=-1)
-        elif nonlin == "sigmoid":
-            probs = jax.nn.sigmoid(logits)
-        else:
-            probs = logits
-        unflipped = [jnp.flip(probs[i], axis=c) if c else probs[i]
-                     for i, c in enumerate(combos)]
-        return jnp.mean(jnp.stack(unflipped, 0), axis=0)
+        total = jnp.zeros((*patch, num_classes), jnp.float32)
+        for cc in combo_chunks:
+            batch = jnp.stack(
+                [jnp.flip(tile, axis=c) if c else tile for c in cc], axis=0)
+            logits = apply_fn(params, batch).astype(jnp.float32)
+            if nonlin == "softmax":
+                probs = jax.nn.softmax(logits, axis=-1)
+            elif nonlin == "sigmoid":
+                probs = jax.nn.sigmoid(logits)
+            else:
+                probs = logits
+            for i, c in enumerate(cc):
+                total = total + (jnp.flip(probs[i], axis=c) if c else probs[i])
+        return total / len(combos)
 
     @jax.jit
     def run(params, padded_volume, coords, tile_weights):
@@ -173,7 +180,7 @@ class SlidingWindowPredictor:
     def __init__(self, apply_fn, patch_size, in_channels: int, num_classes: int,
                  nonlin: str = "softmax", step_size: float = 0.5,
                  do_mirroring: bool = True, mirror_axes: tuple[int, ...] = (0, 1, 2),
-                 use_gaussian: bool = True):
+                 use_gaussian: bool = True, tta_chunk: int = 2):
         self.apply_fn = _HashableFn(apply_fn)
         self.patch_size = tuple(int(p) for p in patch_size)
         self.in_channels = in_channels
@@ -182,6 +189,7 @@ class SlidingWindowPredictor:
         self.step_size = step_size
         self.mirror_axes = tuple(mirror_axes) if do_mirroring else ()
         self.use_gaussian = use_gaussian
+        self.tta_chunk = tta_chunk
 
     def tile_coords(self, image_shape) -> np.ndarray:
         steps = compute_steps_for_sliding_window(self.patch_size, image_shape,
@@ -203,7 +211,8 @@ class SlidingWindowPredictor:
 
         runner = _make_tiled_runner(
             self.apply_fn, self.patch_size, self.in_channels, self.num_classes,
-            self.mirror_axes, self.use_gaussian, self.nonlin, n_padded)
+            self.mirror_axes, self.use_gaussian, self.nonlin, n_padded,
+            self.tta_chunk)
         probs = runner(params, padded, jnp.asarray(coords_padded),
                        jnp.asarray(weights))
         probs = np.asarray(probs)[tuple(slicer) + (slice(None),)]
