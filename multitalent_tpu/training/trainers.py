@@ -411,6 +411,42 @@ class TrainerV2(NetworkTrainerBase):
         # bf16 + our optax state the documented failure mode has not been observed.
         return cont and self.epoch < self.max_num_epochs
 
+    # ---------------------------------------------------------------- inference
+    inference_nonlin = "softmax"
+    regions_class_order = None
+
+    def get_sliding_window_predictor(self, do_mirroring: bool = True,
+                                     step_size: float = 0.5,
+                                     use_gaussian: bool = True):
+        """Tiled predictor over this trainer's network
+        (SegmentationNetwork.predict_3D analog, neural_network.py:73)."""
+        from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
+        model = self.network
+
+        def apply_fn(params, batch):
+            return model.apply({"params": params}, batch, deep_supervision=False)
+
+        mirror_axes = (0, 1, 2) if self.threeD else (0, 1)
+        return SlidingWindowPredictor(
+            apply_fn, tuple(int(p) for p in self.patch_size),
+            in_channels=self.num_input_channels, num_classes=self.num_classes,
+            nonlin=self.inference_nonlin, step_size=step_size,
+            do_mirroring=do_mirroring, mirror_axes=mirror_axes,
+            use_gaussian=use_gaussian)
+
+    def predict_preprocessed_data_return_seg_and_softmax(
+            self, data: np.ndarray, do_mirroring: bool = True,
+            step_size: float = 0.5, use_gaussian: bool = True, params=None):
+        """data (C, Z, Y, X) preprocessed -> (seg ZYX, probabilities (K, Z, Y, X))."""
+        from multitalent_tpu.ops.sliding_window import segmentation_from_probabilities
+        predictor = self.get_sliding_window_predictor(
+            do_mirroring=do_mirroring, step_size=step_size,
+            use_gaussian=use_gaussian)
+        probs = predictor(params if params is not None else self.state.params, data)
+        seg = segmentation_from_probabilities(np.asarray(probs),
+                                              self.regions_class_order)
+        return seg, probs
+
     # --------------------------------------------------------------- validation
     def validate(self, do_mirroring: bool = True, use_sliding_window: bool = True,
                  step_size: float = 0.5, save_softmax: bool = True,

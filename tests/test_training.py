@@ -17,6 +17,9 @@ def tiny_plans(batch_size=2, patch=(8, 8, 8), num_classes=2, modalities=1):
         "base_num_features": 4, "use_mask_for_norm": {0: False},
         "transpose_forward": [0, 1, 2], "transpose_backward": [0, 1, 2],
         "data_identifier": "mtt_data",
+        "dataset_properties": {"intensityproperties": {0: {
+            "percentile_00_5": -3.0, "percentile_99_5": 3.0,
+            "mean": 0.0, "sd": 1.0}}},
         "plans_per_stage": {0: {
             "batch_size": batch_size, "patch_size": patch,
             "current_spacing": (1.0, 1.0, 1.0), "original_spacing": (1.0, 1.0, 1.0),
