@@ -94,6 +94,110 @@ def make_augment_fn(final_patch_size, ds_scales, params, num_modalities: int = 1
     return augment
 
 
+def make_cascade_augment_fn(final_patch_size, ds_scales, params,
+                            num_modalities: int, num_prev_classes: int):
+    """Cascade training pipeline: the previous-stage segmentation rides along as
+    one-hot channels (MoveSegAsOneHotToData role). Chain order matches
+    get_moreDA_augmentation's cascade path: spatial warp (joint) -> intensity
+    chain (image channels ONLY) -> mask/remove-label -> one-hot + random binary
+    dilation/erosion corruption (ApplyRandomBinaryOperatorTransform parity,
+    pyramid_augmentations.py:66-99) -> joint mirror -> DS targets. Random
+    connected-component removal corruption happens host-side in the cascade patch
+    sampler (scipy labeling, pyramid_augmentations.py:23-63)."""
+    final_shape = tuple(int(s) for s in final_patch_size)
+    rot_x = tuple(params["rotation_x"])
+    rot_y = tuple(params["rotation_y"])
+    rot_z = tuple(params["rotation_z"])
+    scale_range = tuple(params["scale_range"])
+    dummy_2d = bool(params.get("dummy_2D", False))
+    p_binary = float(params.get("cascade_random_binary_transform_p", 0.4))
+    mirror_axes = tuple(params.get("mirror_axes", (0, 1, 2)))
+    do_mirror = bool(params.get("do_mirror", True))
+
+    # the base pipeline applies its mirror with keys[8] of split(rng, 9); to mirror
+    # jointly we disable base mirroring and mirror here instead
+    params_nomirror = dict(params)
+    params_nomirror["do_mirror"] = False
+    base = make_augment_fn(final_patch_size, ds_scales, params_nomirror,
+                           num_modalities)
+
+    @jax.jit
+    def augment(rng, data_bc, seg_b2):
+        # seg_b2: (B, 2, ...): [GT labels, previous-stage labels]
+        keys = jax.random.split(rng, 9)
+        k_morph = jax.random.fold_in(rng, 1234)
+        k_mirror = keys[8]
+
+        data, targets = base(rng, data_bc, seg_b2[:, 0:1])
+
+        # warp the previous-stage one-hots with the SAME spatial transform
+        # (spatial_augment is a pure function of keys[0]): linear interpolation of
+        # the indicators + 0.5 threshold
+        prev_oh = jax.nn.one_hot(seg_b2[:, 1].astype(jnp.int32),
+                                 num_prev_classes + 1, dtype=jnp.float32)[..., 1:]
+        dummy_seg = jnp.zeros(seg_b2[:, 0].shape, jnp.float32)
+        prev_w, _ = S.spatial_augment(
+            keys[0], prev_oh, dummy_seg, final_shape, scale_range=scale_range,
+            rot_x=rot_x, rot_y=rot_y, rot_z=rot_z,
+            p_rot=params.get("p_rot", 0.2), p_scale=params.get("p_scale", 0.2),
+            order_seg=1, dummy_2d=dummy_2d)
+        prev_w = (prev_w > 0.5).astype(jnp.float32)
+        prev_w = S_random_binary_morphology(k_morph, prev_w, p_binary)
+
+        full = jnp.concatenate([data, prev_w], axis=-1)
+        if do_mirror:
+            full, seg0 = S.mirror_augment(k_mirror, full, targets[0],
+                                          mirror_axes=mirror_axes)
+            targets = S.downsample_seg_for_ds(seg0, [tuple(s) for s in ds_scales])
+        return full, targets
+
+    return augment
+
+
+def S_random_binary_morphology(rng, onehot, p_per_channel: float = 0.4,
+                               size: int = 3):
+    """Random per-(sample, channel) binary dilation or erosion via max/min pooling
+    (structuring element = cube of `size`)."""
+    b, c = onehot.shape[0], onehot.shape[-1]
+    k_do, k_op = jax.random.split(rng)
+    do = jax.random.uniform(k_do, (b, c)) < p_per_channel
+    dilate = jax.random.bernoulli(k_op, 0.5, (b, c))
+    window = (1,) + (size,) * (onehot.ndim - 2) + (1,)
+    ones = (1,) * onehot.ndim
+    dilated = jax.lax.reduce_window(onehot, -jnp.inf, jax.lax.max, window, ones,
+                                    "SAME")
+    eroded = jax.lax.reduce_window(onehot, jnp.inf, jax.lax.min, window, ones,
+                                   "SAME")
+    shape_bc = (b,) + (1,) * (onehot.ndim - 2) + (c,)
+    do_b = do.reshape(shape_bc)
+    dil_b = dilate.reshape(shape_bc)
+    return jnp.where(do_b, jnp.where(dil_b, dilated, eroded), onehot)
+
+
+def make_cascade_val_transform_fn(final_patch_size, ds_scales, params,
+                                  num_modalities: int, num_prev_classes: int):
+    """Validation-path cascade transform: center crop + one-hot append, no
+    corruption."""
+    import jax.nn as jnn
+
+    base = make_val_transform_fn(final_patch_size, ds_scales, params,
+                                 num_modalities)
+    final_shape = tuple(int(s) for s in final_patch_size)
+
+    @jax.jit
+    def transform(data_bc, seg_b2):
+        data, targets = base(data_bc, seg_b2[:, 0:1])
+        prev = seg_b2[:, 1]
+        starts = [(prev.shape[i + 1] - final_shape[i]) // 2 for i in range(3)]
+        sl = (slice(None),) + tuple(slice(s, s + f)
+                                    for s, f in zip(starts, final_shape))
+        prev_oh = jnn.one_hot(prev[sl].astype(jnp.int32), num_prev_classes + 1,
+                              dtype=jnp.float32)[..., 1:]
+        return jnp.concatenate([data, prev_oh], axis=-1), targets
+
+    return transform
+
+
 def make_val_transform_fn(final_patch_size, ds_scales, params, num_modalities: int = 1):
     """Validation-path transform: center crop + mask/remove-label + DS targets only
     (the reference's val pipeline applies no stochastic transforms)."""

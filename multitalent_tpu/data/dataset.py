@@ -16,7 +16,10 @@ from multitalent_tpu.utils import load_pickle, subfiles
 
 
 def get_case_identifiers(folder: str) -> list[str]:
-    return [os.path.basename(f)[:-4] for f in subfiles(folder, suffix=".npz")]
+    # segFromPrevStage files live next to the cases but are not cases themselves
+    # (dataset_loading.py:47-51)
+    return [os.path.basename(f)[:-4] for f in subfiles(folder, suffix=".npz")
+            if "segFromPrevStage" not in os.path.basename(f)]
 
 
 def load_dataset(folder: str, num_cases_properties_loading_threshold: int = 1000) -> dict:

@@ -57,12 +57,11 @@ class PatchSampler3D:
             return entry["properties"]
         return load_pickle(entry["properties_file"])
 
-    def _sample_patch(self, key: str, force_fg: bool):
-        properties = self._properties(key)
-        case_all_data = load_case(self._data[key], self.memmap_mode)
-        shape = np.array(case_all_data.shape[1:])
+    def _choose_bbox(self, shape: np.ndarray, properties: dict,
+                     force_fg: bool) -> np.ndarray:
+        """Lower-bound corner of the sampled patch (may be negative / exceed the
+        case: the overhang is padded)."""
         dim = len(shape)
-
         need_to_pad = self.need_to_pad.copy()
         for d in range(dim):
             if need_to_pad[d] + shape[d] < self.patch_size[d]:
@@ -78,23 +77,32 @@ class PatchSampler3D:
                 selected_class = self.rng.choice(fg_classes)
                 voxels = properties["class_locations"][selected_class]
                 center = voxels[self.rng.choice(len(voxels))]
-                bbox_lb = np.maximum(lb, np.array(center) - self.patch_size // 2)
-            else:
-                bbox_lb = np.array([self.rng.randint(lb[d], ub[d] + 1) for d in range(dim)])
-        else:
-            bbox_lb = np.array([self.rng.randint(lb[d], ub[d] + 1) for d in range(dim)])
+                return np.maximum(lb, np.array(center) - self.patch_size // 2)
+        return np.array([self.rng.randint(lb[d], ub[d] + 1) for d in range(dim)])
 
+    def _crop_pad(self, arr: np.ndarray, bbox_lb: np.ndarray, pad_mode: str,
+                  cval: float):
+        """Crop channel-first `arr` to [bbox_lb, bbox_lb+patch) with padding."""
+        shape = np.array(arr.shape[1:])
         bbox_ub = bbox_lb + self.patch_size
         valid_lb = np.maximum(0, bbox_lb)
         valid_ub = np.minimum(shape, bbox_ub)
         sl = (slice(None),) + tuple(slice(a, b) for a, b in zip(valid_lb, valid_ub))
-        case_crop = np.array(case_all_data[sl])
-
+        crop = np.array(arr[sl])
         pad_lo = -np.minimum(0, bbox_lb)
         pad_hi = np.maximum(bbox_ub - shape, 0)
         pad = [(0, 0)] + [(int(a), int(b)) for a, b in zip(pad_lo, pad_hi)]
-        data = np.pad(case_crop[:-1], pad, mode=self.pad_mode)
-        seg = np.pad(case_crop[-1:], pad, mode="constant", constant_values=-1)
+        if pad_mode == "constant":
+            return np.pad(crop, pad, mode="constant", constant_values=cval)
+        return np.pad(crop, pad, mode=pad_mode)
+
+    def _sample_patch(self, key: str, force_fg: bool):
+        properties = self._properties(key)
+        case_all_data = load_case(self._data[key], self.memmap_mode)
+        bbox_lb = self._choose_bbox(np.array(case_all_data.shape[1:]), properties,
+                                    force_fg)
+        data = self._crop_pad(case_all_data[:-1], bbox_lb, self.pad_mode, 0)
+        seg = self._crop_pad(case_all_data[-1:], bbox_lb, "constant", -1)
         return data, seg, properties
 
     def generate_train_batch(self) -> dict:
@@ -106,7 +114,7 @@ class PatchSampler3D:
         for j, key in enumerate(selected_keys):
             d, s, props = self._sample_patch(key, self._force_fg(j))
             data[j] = d
-            seg[j, 0:1] = s
+            seg[j, : s.shape[0]] = s
             case_properties.append(props)
         return {"data": data, "seg": seg, "properties": case_properties,
                 "keys": list(selected_keys)}

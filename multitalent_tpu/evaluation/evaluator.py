@@ -12,13 +12,13 @@ from __future__ import annotations
 import hashlib
 import inspect
 import os
-from concurrent.futures import ProcessPoolExecutor
 from datetime import datetime
 
 import numpy as np
 
 from multitalent_tpu.evaluation.metrics import ALL_METRICS, ConfusionMatrix
 from multitalent_tpu.io.nifti import read_nifti
+from multitalent_tpu.utils.fileops import process_pool
 from multitalent_tpu.utils.fileops import save_json
 
 DEFAULT_METRICS = [
@@ -179,7 +179,7 @@ def aggregate_scores(test_ref_pairs, evaluator=NiftiEvaluator, labels=None,
     if num_threads <= 1 or len(jobs) <= 1:
         all_res = [run_evaluation(j) for j in jobs]
     else:
-        with ProcessPoolExecutor(max_workers=num_threads) as pool:
+        with process_pool(num_threads) as pool:
             all_res = list(pool.map(run_evaluation, jobs))
 
     for i, case_result in enumerate(all_res):

@@ -169,3 +169,69 @@ def run_multitalent_validation(trainer, do_mirroring: bool = True,
                                               f"summary_{task}.json"),
                 json_name=f"validation_{task}", num_threads=4)
     return results
+
+
+def run_cascade_validation(trainer, do_mirroring: bool = True,
+                           use_sliding_window: bool = True,
+                           step_size: float = 0.5, save_softmax: bool = True,
+                           use_gaussian: bool = True, overwrite: bool = True,
+                           validation_folder_name: str = "validation_raw",
+                           debug: bool = False, all_in_gpu: bool = False,
+                           segmentation_export_kwargs: dict | None = None,
+                           run_postprocessing_on_folds: bool = True):
+    """Cascade validate: append the one-hot previous-stage segmentation to the
+    input channels before sliding-window prediction
+    (nnUNetTrainerV2_CascadeFullRes.validate parity)."""
+    import numpy as _np
+    from multitalent_tpu.training.cascade import one_hot_prev_stage_channels
+
+    assert trainer.was_initialized
+    output_folder = maybe_mkdir(os.path.join(trainer.output_folder,
+                                             validation_folder_name))
+    pool = _export_pool()
+    futures = []
+    for k in sorted(trainer.dataset_val.keys()):
+        fname = os.path.join(output_folder, k + ".nii.gz")
+        if not overwrite and os.path.isfile(fname):
+            continue
+        case_all_data = _np.array(load_case(trainer.dataset_val[k], "r"))
+        data = case_all_data[:-1]
+        prev = _np.load(os.path.join(
+            trainer.folder_with_preprocessed_data,
+            f"{k}_segFromPrevStage.npz"))["data"][0]
+        data = _np.concatenate(
+            [data, one_hot_prev_stage_channels(prev, trainer.num_prev_classes)])
+        properties = load_pickle(trainer.dataset_val[k]["properties_file"])
+        _, softmax = trainer.predict_preprocessed_data_return_seg_and_softmax(
+            data, do_mirroring=do_mirroring, step_size=step_size,
+            use_gaussian=use_gaussian)
+        npz_fname = fname[:-7] + ".npz" if save_softmax else None
+        futures.append(pool.submit(
+            save_segmentation_nifti_from_softmax, _np.asarray(softmax), fname,
+            properties, 1, trainer.regions_class_order, None, None, npz_fname,
+            None, None, 0))
+    for f in futures:
+        f.result()
+    pool.shutdown()
+
+    gt_folder = os.path.join(trainer.dataset_directory, "gt_segmentations")
+    summary = None
+    if os.path.isdir(gt_folder):
+        from multitalent_tpu.evaluation.evaluator import aggregate_scores
+        pred_files = subfiles(output_folder, suffix=".nii.gz", join=False)
+        pairs = [(os.path.join(output_folder, f), os.path.join(gt_folder, f))
+                 for f in pred_files
+                 if os.path.isfile(os.path.join(gt_folder, f))]
+        if pairs:
+            summary = aggregate_scores(
+                pairs, labels=list(trainer.classes),
+                json_output_file=os.path.join(output_folder, "summary.json"),
+                json_name="validation", num_threads=4)
+        if run_postprocessing_on_folds and pairs:
+            from multitalent_tpu.postprocessing.connected_components import (
+                determine_postprocessing)
+            determine_postprocessing(
+                trainer.output_folder, gt_folder, validation_folder_name,
+                final_subf_name=validation_folder_name + "_postprocessed",
+                debug=debug)
+    return summary

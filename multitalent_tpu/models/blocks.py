@@ -28,12 +28,13 @@ class InstanceNorm(nn.Module):
 
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    scale_init: Any = nn.initializers.ones  # zeros for last-norm-zero residual init
 
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
         c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         xf = x.astype(jnp.float32)
         axes = tuple(range(1, x.ndim - 1))  # spatial dims only
@@ -46,6 +47,11 @@ class InstanceNorm(nn.Module):
 
 def lrelu(x, negative_slope=1e-2):
     return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+def symmetric_padding(kernel_size) -> tuple[tuple[int, int], ...]:
+    """torch-style conv padding: (k-1)//2 on both sides of each spatial dim."""
+    return tuple(((k - 1) // 2, (k - 1) // 2) for k in kernel_size)
 
 
 class ConvNormAct(nn.Module):
@@ -66,7 +72,10 @@ class ConvNormAct(nn.Module):
             self.features,
             kernel_size=tuple(self.kernel_size),
             strides=strides,
-            padding="SAME",
+            # explicit symmetric (k-1)//2 padding: for strided convs XLA's SAME
+            # pads asymmetrically (low 0 / high 1), which would misalign windows
+            # vs the reference's torch padding=(k-1)//2 and break weight import
+            padding=symmetric_padding(self.kernel_size),
             use_bias=self.use_bias,
             kernel_init=he_init(self.negative_slope),
             dtype=self.dtype,

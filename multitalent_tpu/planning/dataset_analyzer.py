@@ -9,12 +9,12 @@ size_reductions).
 from __future__ import annotations
 
 import os
-from concurrent.futures import ProcessPoolExecutor
 
 import numpy as np
 
 from multitalent_tpu.configuration import default_num_threads
 from multitalent_tpu.preprocessing.cropping import get_patient_identifiers_from_cropped_files
+from multitalent_tpu.utils.fileops import process_pool
 from multitalent_tpu.utils import load_json, load_pickle, save_pickle
 
 FOREGROUND_SUBSAMPLE_STRIDE = 10  # every 10th fg voxel is enough for robust percentiles
@@ -92,7 +92,7 @@ class DatasetAnalyzer:
             if self.num_processes <= 1 or len(args) <= 1:
                 per_case = [_fg_voxels_for_case(a) for a in args]
             else:
-                with ProcessPoolExecutor(max_workers=self.num_processes) as pool:
+                with process_pool(self.num_processes) as pool:
                     per_case = list(pool.map(_fg_voxels_for_case, args))
             pooled = np.concatenate([np.asarray(v) for v in per_case]) if per_case else []
             stats = _compute_stats(pooled)

@@ -20,7 +20,7 @@ import numpy as np
 from multitalent_tpu.configuration import default_num_threads
 from multitalent_tpu.planning import net_topology as nt
 from multitalent_tpu.preprocessing.cropping import get_case_identifier_from_npz
-from multitalent_tpu.registry import PLANNERS, PREPROCESSORS
+from multitalent_tpu.registry import PLANNERS, resolve_preprocessor
 from multitalent_tpu.utils import load_pickle, save_pickle, subfiles
 
 
@@ -275,7 +275,7 @@ class ExperimentPlannerBase:
             shutil.rmtree(gt_dst)
         if os.path.isdir(gt_src):
             shutil.copytree(gt_src, gt_dst)
-        preprocessor_class = PREPROCESSORS.get(self.preprocessor_name)
+        preprocessor_class = resolve_preprocessor(self.preprocessor_name)
         preprocessor = preprocessor_class(
             self.plans["normalization_schemes"], self.plans["use_mask_for_norm"],
             self.transpose_forward, self.plans["dataset_properties"]["intensityproperties"])

@@ -12,13 +12,13 @@ from __future__ import annotations
 import ast
 import os
 import shutil
-from concurrent.futures import ProcessPoolExecutor
 
 import numpy as np
 from scipy.ndimage import label
 
 from multitalent_tpu.evaluation.evaluator import aggregate_scores
 from multitalent_tpu.io.nifti import read_nifti, write_nifti
+from multitalent_tpu.utils.fileops import process_pool
 from multitalent_tpu.utils.fileops import (load_json, maybe_mkdir, save_json,
                                            subfiles)
 
@@ -197,5 +197,5 @@ def _lrs_star(args):
 def _pool_map(processes, fn, jobs):
     if processes <= 1 or len(jobs) <= 1:
         return [fn(j) for j in jobs]
-    with ProcessPoolExecutor(max_workers=processes) as pool:
+    with process_pool(processes) as pool:
         return list(pool.map(fn, jobs))

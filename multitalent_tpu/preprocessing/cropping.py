@@ -13,13 +13,13 @@ from __future__ import annotations
 import os
 import shutil
 import traceback
-from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
 import numpy as np
 from scipy.ndimage import binary_fill_holes
 
 from multitalent_tpu.io.nifti import read_nifti
+from multitalent_tpu.utils.fileops import process_pool
 from multitalent_tpu.utils import load_pickle, maybe_mkdir, save_pickle, subfiles
 
 
@@ -151,7 +151,7 @@ class ImageCropper:
             for a in args:
                 self.load_crop_save(*a)
         else:
-            with ProcessPoolExecutor(max_workers=self.num_threads) as pool:
+            with process_pool(self.num_threads) as pool:
                 list(pool.map(_load_crop_save_star, [(self, *a) for a in args]))
 
     def get_list_of_cropped_files(self):

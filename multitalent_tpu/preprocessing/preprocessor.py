@@ -10,7 +10,6 @@ preprocessed folders.
 from __future__ import annotations
 
 import os
-from concurrent.futures import ProcessPoolExecutor
 
 import numpy as np
 
@@ -19,6 +18,7 @@ from multitalent_tpu.preprocessing.cropping import ImageCropper, get_case_identi
 from multitalent_tpu.preprocessing.normalization import normalize_channel
 from multitalent_tpu.preprocessing.resampling import resample_patient
 from multitalent_tpu.registry import PREPROCESSORS
+from multitalent_tpu.utils.fileops import process_pool
 from multitalent_tpu.utils import load_pickle, maybe_mkdir, save_pickle, subfiles
 
 NUM_CLASS_LOCATION_SAMPLES = 10000
@@ -139,7 +139,7 @@ class GenericPreprocessor:
                 for a in args:
                     self._run_internal(*a)
             else:
-                with ProcessPoolExecutor(max_workers=num_threads[i]) as pool:
+                with process_pool(num_threads[i]) as pool:
                     list(pool.map(_run_internal_star, [(self, *a) for a in args]))
 
 

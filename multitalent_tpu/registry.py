@@ -55,6 +55,8 @@ def resolve_trainer(name: str) -> type:
     from multitalent_tpu.training import trainers as _t  # noqa: F401
     from multitalent_tpu.training import multitalent as _m  # noqa: F401
     from multitalent_tpu.training import warmup as _w  # noqa: F401
+    from multitalent_tpu.training import cascade as _c  # noqa: F401
+    from multitalent_tpu.training import variants as _v  # noqa: F401
 
     return TRAINERS.get(name)
 

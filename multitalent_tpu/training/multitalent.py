@@ -239,3 +239,33 @@ class MultiTalentTrainer2000ep(MultiTalentTrainer):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.max_num_epochs = 2000
+
+
+@TRAINERS.register(aliases=("MultiTalent_trainer_resenc_ddp",))
+class MultiTalentTrainerResenc(MultiTalentTrainer):
+    """MultiTalent over the FabiansUNet residual encoder
+    (MultiTalent_meets_resenc.py:30-120): plans-driven block counts, pool kernels
+    with a leading [1,1,1] stage, DS scales skipping that first entry, last-norm
+    zero init (built into BasicResidualBlock)."""
+
+    def setup_DA_params(self) -> None:
+        super().setup_DA_params()
+        from multitalent_tpu.augment.pipeline import ds_scales_from_pools
+        self.deep_supervision_scales = ds_scales_from_pools(
+            self.net_num_pool_op_kernel_sizes[1:])
+
+    def initialize_network(self) -> None:
+        from multitalent_tpu.models.residual_unet import build_resenc_unet_from_plans
+        self.network = build_resenc_unet_from_plans(
+            self.plans, self.stage, deep_supervision=self.deep_supervision,
+            dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
+            num_classes=NUM_REGIONS)
+        self.inference_nonlin = "sigmoid"
+        self.regions_class_order = list(range(self.num_classes))
+
+
+@TRAINERS.register(aliases=("MultiTalent_trainer_resenc_ddp_2000ep",))
+class MultiTalentTrainerResenc2000ep(MultiTalentTrainerResenc):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_num_epochs = 2000

@@ -45,10 +45,12 @@ class NetworkTrainerBase(ABC):
         self.log_file = None
         self.use_progress_bar = bool(os.environ.get("nnunet_use_progress_bar", False))
 
-        # loop hyperparameters (network_trainer.py:95-117)
-        self.max_num_epochs = 1000
-        self.num_batches_per_epoch = 250
-        self.num_val_batches_per_epoch = 50
+        # loop hyperparameters (network_trainer.py:95-117); env overrides exist for
+        # smoke tests / CI (the reference uses dedicated 2-epoch benchmark
+        # trainer subclasses for the same purpose)
+        self.max_num_epochs = int(os.environ.get("MTTPU_MAX_EPOCHS", 1000))
+        self.num_batches_per_epoch = int(os.environ.get("MTTPU_ITERS_PER_EPOCH", 250))
+        self.num_val_batches_per_epoch = int(os.environ.get("MTTPU_VAL_ITERS", 50))
         self.also_val_in_tr_mode = False
         self.save_every = 50
         self.save_latest_only = True
@@ -326,10 +328,76 @@ class NetworkTrainerBase(ABC):
         self.update_eval_criterion_MA()
         return self.manage_patience()
 
+    def save_debug_information(self) -> None:
+        """debug.json dump of all scalar trainer attributes
+        (nnUNetTrainer.py:297-313)."""
+        from multitalent_tpu.utils.fileops import save_json
+        dct = {}
+        for k in sorted(self.__dict__.keys()):
+            if k.startswith("__") or k in ("plans", "state", "network",
+                                           "intensity_properties", "dataset",
+                                           "dataset_tr", "dataset_val"):
+                continue
+            v = self.__dict__[k]
+            if isinstance(v, (int, float, str, bool, type(None))):
+                dct[k] = v
+            elif isinstance(v, (list, tuple, dict, np.ndarray)):
+                dct[k] = str(v)
+        if self.output_folder is not None:
+            save_json(dct, os.path.join(self.output_folder, "debug.json"))
+
+    def find_lr(self, num_iters: int = 1000, init_value: float = 1e-6,
+                final_value: float = 10.0, beta: float = 0.98):
+        """LR range test (network_trainer.py:685-735): exponentially sweep the lr
+        over `num_iters` batches, track smoothed loss, stop on divergence, plot
+        lr_finder.png, and return the (lrs, losses) history."""
+        import math
+        import jax
+        from multitalent_tpu.training.train_state import TrainState
+
+        mult = (final_value / init_value) ** (1 / num_iters)
+        lr = init_value
+        avg_loss, best_loss = 0.0, 0.0
+        losses, log_lrs = [], []
+        orig_state = self.state
+        for batch_num in range(1, num_iters + 1):
+            # rebuild the optimizer at the current fixed lr
+            from multitalent_tpu.training.schedules import make_constant_schedule
+            from multitalent_tpu.training.train_state import make_sgd_optimizer
+            tx = make_sgd_optimizer(make_constant_schedule(lr))
+            self.state = TrainState(step=self.state.step, params=self.state.params,
+                                    opt_state=tx.init(self.state.params), tx=tx,
+                                    apply_fn=self.state.apply_fn)
+            self._build_step_functions()
+            loss = self.run_iteration(self.tr_gen, do_backprop=True)
+            avg_loss = beta * avg_loss + (1 - beta) * loss
+            smoothed = avg_loss / (1 - beta ** batch_num)
+            if batch_num > 1 and smoothed > 4 * best_loss:
+                break
+            if smoothed < best_loss or batch_num == 1:
+                best_loss = smoothed
+            losses.append(smoothed)
+            log_lrs.append(math.log10(lr))
+            lr *= mult
+        self.state = orig_state
+        self._build_step_functions()
+        try:
+            import matplotlib
+            matplotlib.use("agg")
+            import matplotlib.pyplot as plt
+            fig = plt.figure()
+            plt.plot(log_lrs[10:-5], losses[10:-5])
+            plt.savefig(os.path.join(self.output_folder, "lr_finder.png"))
+            plt.close()
+        except ImportError:
+            pass
+        return log_lrs, losses
+
     def run_training(self) -> None:
         maybe_mkdir_p(self.output_folder)
         if not self.was_initialized:
             self.initialize(True)
+        self.save_debug_information()
 
         while self.epoch < self.max_num_epochs:
             self.print_to_log_file("\nepoch: ", self.epoch)

@@ -319,8 +319,10 @@ class TrainerV2(NetworkTrainerBase):
         self.process_plans(self.plans)
         self.setup_DA_params()
 
-        net_numpool = len(self.net_num_pool_op_kernel_sizes)
-        self.ds_loss_weights = ds_loss_weights(net_numpool, mask_lowest=True)
+        # one weight per deep-supervision output; the scales list length defines it
+        # (GenericUNet: len(pools); resenc UNet: len(pools)-1)
+        num_ds_outputs = len(self.deep_supervision_scales)
+        self.ds_loss_weights = ds_loss_weights(num_ds_outputs, mask_lowest=True)
 
         if training:
             if self.dataset_directory is not None:
@@ -462,6 +464,26 @@ class TrainerV2(NetworkTrainerBase):
             debug=debug, all_in_gpu=all_in_gpu,
             segmentation_export_kwargs=segmentation_export_kwargs,
             run_postprocessing_on_folds=run_postprocessing_on_folds)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_ResencUNet",))
+class TrainerV2ResencUNet(TrainerV2):
+    """Residual-encoder (FabiansUNet) trainer
+    (nnUNet_variants/architectural_variants/nnUNetTrainerV2_ResencUNet.py parity):
+    plans carry num_blocks_encoder/decoder and pool kernels with a leading [1,1,1]
+    stage; deep-supervision scales skip that first entry."""
+
+    def setup_DA_params(self) -> None:
+        super().setup_DA_params()
+        self.deep_supervision_scales = ds_scales_from_pools(
+            self.net_num_pool_op_kernel_sizes[1:])
+
+    def initialize_network(self) -> None:
+        from multitalent_tpu.models.residual_unet import build_resenc_unet_from_plans
+        self.network = build_resenc_unet_from_plans(
+            self.plans, self.stage, deep_supervision=self.deep_supervision,
+            dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
+            num_classes=self.num_classes)
 
 
 # ----------------------------------------------------------- benchmark trainers

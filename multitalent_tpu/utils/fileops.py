@@ -80,3 +80,31 @@ def save_pickle(obj: Any, path: str | Path) -> None:
 def load_pickle(path: str | Path) -> Any:
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def process_pool(max_workers: int):
+    """Worker pool for host-side parallel work (cropping, preprocessing, metric
+    evaluation, CC postprocessing).
+
+    Start-method choice is a real constraint here:
+    - fork() after a JAX backend initialized risks deadlock (JAX is multithreaded);
+    - spawn/forkserver re-import the caller's __main__, re-executing unguarded
+      scripts (and paying a jax re-import per worker).
+    So: fork while no JAX backend exists yet (the plan/preprocess CLI path —
+    matches the reference's Pool-based parallelism), otherwise a thread pool
+    (the workloads are numpy/scipy/BLAS-bound and release the GIL)."""
+    import sys
+    from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+
+    jax_initialized = False
+    if "jax" in sys.modules:
+        try:
+            from jax._src import xla_bridge
+            jax_initialized = bool(xla_bridge._backends)
+        except Exception:
+            jax_initialized = True  # be conservative
+    if jax_initialized:
+        return ThreadPoolExecutor(max_workers=max_workers)
+    import multiprocessing
+    return ProcessPoolExecutor(max_workers=max_workers,
+                               mp_context=multiprocessing.get_context("fork"))

@@ -1,0 +1,86 @@
+"""FabiansUNet (residual encoder) tests: shapes, DS output count, zero-init of the
+last norm in each residual block, plans-driven construction."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multitalent_tpu.models.residual_unet import (BasicResidualBlock,
+                                                  ResidualEncoderUNet,
+                                                  build_resenc_unet_from_plans)
+
+
+def _make(num_classes=3):
+    return ResidualEncoderUNet(
+        input_channels=1, base_num_features=4, num_classes=num_classes,
+        pool_op_kernel_sizes=((1, 1, 1), (1, 2, 2), (2, 2, 2)),
+        conv_kernel_sizes=((1, 3, 3), (3, 3, 3), (3, 3, 3)),
+        num_blocks_encoder=(1, 2, 3), num_blocks_decoder=(1, 1),
+        dtype=jnp.float32)
+
+
+def test_resenc_ds_output_shapes():
+    net = _make()
+    x = jnp.zeros((1, 4, 8, 8, 1))
+    params = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(params, x)
+    # 3 stages -> 2 decoder stages -> 2 DS outputs, highest resolution first
+    assert len(outs) == 2
+    assert outs[0].shape == (1, 4, 8, 8, 3)
+    assert outs[1].shape == (1, 4, 4, 4, 3)
+    single = net.apply(params, x, deep_supervision=False)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(outs[0]))
+
+
+def test_residual_block_zero_init_is_projected_identity():
+    """With norm2.scale == 0 the residual path contributes nothing at init: the
+    block must reduce to lrelu(skip-projection(x))."""
+    blk = BasicResidualBlock(features=4, kernel_size=(3, 3, 3), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4, 4))
+    params = blk.init(jax.random.PRNGKey(1), x)
+    assert np.all(np.asarray(params["params"]["norm2"]["scale"]) == 0)
+    y = blk.apply(params, x)
+    # cin == features and stride 1 -> identity skip; residual path is only bias
+    # terms after the zeroed scale, so y ~= lrelu(x + norm2.bias)
+    expected = jax.nn.leaky_relu(
+        x + np.asarray(params["params"]["norm2"]["bias"]), 0.01)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(expected), atol=1e-5)
+
+
+def test_build_from_resenc_plans():
+    from multitalent_tpu.plans import Plans
+    plans = Plans.from_dict({
+        "num_stages": 1, "num_modalities": 1, "modalities": {0: "CT"},
+        "normalization_schemes": {0: "CT"}, "num_classes": 2, "all_classes": [1, 2],
+        "base_num_features": 4, "use_mask_for_norm": {0: False},
+        "transpose_forward": [0, 1, 2], "transpose_backward": [0, 1, 2],
+        "data_identifier": "x",
+        "plans_per_stage": {0: {
+            "batch_size": 2, "patch_size": (4, 8, 8),
+            "current_spacing": (1., 1., 1.), "original_spacing": (1., 1., 1.),
+            "median_patient_size_in_voxels": (16, 16, 16),
+            "num_pool_per_axis": [1, 2, 2],
+            "pool_op_kernel_sizes": [[1, 1, 1], [1, 2, 2], [2, 2, 2]],
+            "conv_kernel_sizes": [[1, 3, 3], [3, 3, 3], [3, 3, 3]],
+            "num_blocks_encoder": (1, 2, 3), "num_blocks_decoder": (1, 1),
+        }},
+    })
+    net = build_resenc_unet_from_plans(plans, 0, dtype=jnp.float32)
+    x = jnp.zeros((1, 4, 8, 8, 1))
+    outs = net.apply(net.init(jax.random.PRNGKey(0), x), x)
+    assert len(outs) == 2 and outs[0].shape[-1] == 3  # 2 classes + bg
+
+
+def test_resenc_gradients_flow():
+    net = _make()
+    x = jnp.ones((1, 4, 8, 8, 1))
+    params = net.init(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def loss_fn(p):
+        outs = net.apply(p, x)
+        return sum(jnp.mean(o ** 2) for o in outs)
+
+    g = jax.grad(loss_fn)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
