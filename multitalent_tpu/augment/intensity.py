@@ -6,19 +6,25 @@ SimulateLowResolution -> Gamma(inverted) -> Gamma. All transforms are branchless
 per-sample (and where applicable per-channel) Bernoulli application masks select
 between transformed and identity values, so the whole chain is one fused XLA program.
 
-data layout: (B, Z, Y, X, C) float32.
+data layout: (B, *spatial, C) float32 — rank-agnostic (3D and 2D patches).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-_SPATIAL = (1, 2, 3)
+def _spatial(data):
+    return tuple(range(1, data.ndim - 1))
 
 
-def _bcast(x, ndim=5):
-    """(B, C) per-sample-channel scalar -> broadcastable (B, 1, 1, 1, C)."""
-    return x[:, None, None, None, :]
+def _bcast(x, ndim):
+    """(B, C) per-sample-channel scalar -> broadcastable (B, 1, ..., 1, C)."""
+    return x.reshape((x.shape[0],) + (1,) * (ndim - 2) + (x.shape[-1],))
+
+
+def _bcast_b(x, ndim):
+    """(B,) per-sample scalar -> broadcastable (B, 1, ..., 1)."""
+    return x.reshape((x.shape[0],) + (1,) * (ndim - 1))
 
 
 def gaussian_noise(rng, data, p=0.1, variance=(0.0, 0.1)):
@@ -27,8 +33,8 @@ def gaussian_noise(rng, data, p=0.1, variance=(0.0, 0.1)):
     apply = jax.random.uniform(k1, (b,)) < p
     # the reference samples "variance" and uses it as the normal's scale
     sigma = jax.random.uniform(k2, (b,), minval=variance[0], maxval=variance[1])
-    noise = jax.random.normal(k3, data.shape) * sigma[:, None, None, None, None]
-    return jnp.where(apply[:, None, None, None, None], data + noise, data)
+    noise = jax.random.normal(k3, data.shape) * _bcast_b(sigma, data.ndim)
+    return jnp.where(_bcast_b(apply, data.ndim), data + noise, data)
 
 
 def gaussian_blur(rng, data, p=0.2, p_per_channel=0.5, sigma_range=(0.5, 1.0), radius=3):
@@ -42,7 +48,7 @@ def gaussian_blur(rng, data, p=0.2, p_per_channel=0.5, sigma_range=(0.5, 1.0), r
     w = w / jnp.sum(w, axis=-1, keepdims=True)  # (B, C, K)
 
     blurred = data
-    for axis in _SPATIAL:
+    for axis in _spatial(data):
         # weights indexed (B, C, K); build the shifted sum explicitly
         k = w.shape[-1]
         r = k // 2
@@ -53,10 +59,10 @@ def gaussian_blur(rng, data, p=0.2, p_per_channel=0.5, sigma_range=(0.5, 1.0), r
         for i in range(k):
             sl = [slice(None)] * blurred.ndim
             sl[axis] = slice(i, i + blurred.shape[axis])
-            acc = acc + xp[tuple(sl)] * w[:, None, None, None, :, i]
+            acc = acc + xp[tuple(sl)] * _bcast(w[..., i], data.ndim)
         blurred = acc
     apply = apply_sample[:, None] & apply_channel  # (B, C)
-    return jnp.where(_bcast(apply.astype(bool)), blurred, data)
+    return jnp.where(_bcast(apply.astype(bool), data.ndim), blurred, data)
 
 
 def brightness_multiplicative(rng, data, p=0.15, mult_range=(0.75, 1.25)):
@@ -64,8 +70,8 @@ def brightness_multiplicative(rng, data, p=0.15, mult_range=(0.75, 1.25)):
     k1, k2 = jax.random.split(rng)
     apply = jax.random.uniform(k1, (b,)) < p
     mult = jax.random.uniform(k2, (b, c), minval=mult_range[0], maxval=mult_range[1])
-    out = data * _bcast(mult)
-    return jnp.where(apply[:, None, None, None, None], out, data)
+    out = data * _bcast(mult, data.ndim)
+    return jnp.where(_bcast_b(apply, data.ndim), out, data)
 
 
 def contrast_augmentation(rng, data, p=0.15, contrast_range=(0.75, 1.25),
@@ -75,13 +81,13 @@ def contrast_augmentation(rng, data, p=0.15, contrast_range=(0.75, 1.25),
     apply = jax.random.uniform(k1, (b,)) < p
     factor = jax.random.uniform(k2, (b, c), minval=contrast_range[0],
                                 maxval=contrast_range[1])
-    mean = jnp.mean(data, axis=_SPATIAL, keepdims=True)
-    out = (data - mean) * _bcast(factor) + mean
+    mean = jnp.mean(data, axis=_spatial(data), keepdims=True)
+    out = (data - mean) * _bcast(factor, data.ndim) + mean
     if preserve_range:
-        mn = jnp.min(data, axis=_SPATIAL, keepdims=True)
-        mx = jnp.max(data, axis=_SPATIAL, keepdims=True)
+        mn = jnp.min(data, axis=_spatial(data), keepdims=True)
+        mx = jnp.max(data, axis=_spatial(data), keepdims=True)
         out = jnp.clip(out, mn, mx)
-    return jnp.where(apply[:, None, None, None, None], out, data)
+    return jnp.where(_bcast_b(apply, data.ndim), out, data)
 
 
 def simulate_low_resolution(rng, data, p=0.25, p_per_channel=0.5, zoom_range=(0.5, 1.0)):
@@ -95,9 +101,9 @@ def simulate_low_resolution(rng, data, p=0.25, p_per_channel=0.5, zoom_range=(0.
     zoom = jax.random.uniform(k3, (b,), minval=zoom_range[0], maxval=zoom_range[1])
 
     def pixelate_one(vol, z):
-        # vol (Z, Y, X, C); virtual low-res cell size s = 1/z >= 1
+        # vol (*spatial, C); virtual low-res cell size s = 1/z >= 1
         out = vol
-        for axis in range(3):
+        for axis in range(vol.ndim - 1):
             n = vol.shape[axis]
             idx = jnp.arange(n, dtype=jnp.float32)
             cell = jnp.floor(idx * z) + 0.5  # low-res cell center (in low-res units)
@@ -107,7 +113,7 @@ def simulate_low_resolution(rng, data, p=0.25, p_per_channel=0.5, zoom_range=(0.
 
     pix = jax.vmap(pixelate_one)(data, zoom)
     apply = apply_sample[:, None] & apply_channel
-    return jnp.where(_bcast(apply.astype(bool)), pix, data)
+    return jnp.where(_bcast(apply.astype(bool), data.ndim), pix, data)
 
 
 def _gamma_core(rng, data, gamma_range, invert):
@@ -119,16 +125,17 @@ def _gamma_core(rng, data, gamma_range, invert):
     g_hi = jax.random.uniform(k3, (b, c), minval=1.0, maxval=gamma_range[1])
     gamma = jnp.where(pick_lo, g_lo, g_hi)
 
+    sp = _spatial(data)
     x = -data if invert else data
-    mn_stat = jnp.mean(x, axis=_SPATIAL, keepdims=True)
-    sd_stat = jnp.std(x, axis=_SPATIAL, keepdims=True)
-    mn = jnp.min(x, axis=_SPATIAL, keepdims=True)
-    rnge = jnp.max(x, axis=_SPATIAL, keepdims=True) - mn
+    mn_stat = jnp.mean(x, axis=sp, keepdims=True)
+    sd_stat = jnp.std(x, axis=sp, keepdims=True)
+    mn = jnp.min(x, axis=sp, keepdims=True)
+    rnge = jnp.max(x, axis=sp, keepdims=True) - mn
     eps = 1e-7
-    y = jnp.power((x - mn) / (rnge + eps), _bcast(gamma)) * (rnge + eps) + mn
+    y = jnp.power((x - mn) / (rnge + eps), _bcast(gamma, data.ndim)) * (rnge + eps) + mn
     # retain_stats: restore per-channel mean/std
-    y = (y - jnp.mean(y, axis=_SPATIAL, keepdims=True)) / (
-        jnp.std(y, axis=_SPATIAL, keepdims=True) + 1e-8) * sd_stat + mn_stat
+    y = (y - jnp.mean(y, axis=sp, keepdims=True)) / (
+        jnp.std(y, axis=sp, keepdims=True) + 1e-8) * sd_stat + mn_stat
     return -y if invert else y
 
 
@@ -137,4 +144,4 @@ def gamma_augmentation(rng, data, p=0.3, gamma_range=(0.7, 1.5), invert=False):
     k1, k2 = jax.random.split(rng)
     apply = jax.random.uniform(k1, (b,)) < p
     out = _gamma_core(k2, data, gamma_range, invert)
-    return jnp.where(apply[:, None, None, None, None], out, data)
+    return jnp.where(_bcast_b(apply, data.ndim), out, data)

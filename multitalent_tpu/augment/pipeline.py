@@ -26,7 +26,8 @@ def ds_scales_from_pools(pool_op_kernel_sizes) -> list[list[float]]:
     """Deep-supervision target scales: identity plus cumulative inverse pool strides,
     dropping the deepest level (nnUNetTrainerV2.setup_DA_params)."""
     cum = np.cumprod(np.vstack(pool_op_kernel_sizes), axis=0)
-    return [[1.0, 1.0, 1.0]] + (1.0 / cum).tolist()[:-1]
+    ndim = cum.shape[1]
+    return [[1.0] * ndim] + (1.0 / cum).tolist()[:-1]
 
 
 def make_augment_fn(final_patch_size, ds_scales, params, num_modalities: int = 1):
@@ -51,11 +52,17 @@ def make_augment_fn(final_patch_size, ds_scales, params, num_modalities: int = 1
         seg = seg_b1[:, 0].astype(jnp.float32)
 
         keys = jax.random.split(rng, 9)
-        data, seg = S.spatial_augment(
-            keys[0], data, seg, final_shape, scale_range=scale_range,
-            rot_x=rot_x, rot_y=rot_y, rot_z=rot_z,
-            p_rot=params.get("p_rot", 0.2), p_scale=params.get("p_scale", 0.2),
-            order_seg=order_seg, dummy_2d=dummy_2d)
+        if len(final_shape) == 2:
+            data, seg = S.spatial_augment_2d(
+                keys[0], data, seg, final_shape, scale_range=scale_range,
+                rot=rot_x, p_rot=params.get("p_rot", 0.2),
+                p_scale=params.get("p_scale", 0.2), order_seg=order_seg)
+        else:
+            data, seg = S.spatial_augment(
+                keys[0], data, seg, final_shape, scale_range=scale_range,
+                rot_x=rot_x, rot_y=rot_y, rot_z=rot_z,
+                p_rot=params.get("p_rot", 0.2), p_scale=params.get("p_scale", 0.2),
+                order_seg=order_seg, dummy_2d=dummy_2d)
 
         data = I.gaussian_noise(keys[1], data, p=params.get("p_gaussian_noise", 0.1),
                                 variance=tuple(params.get("gaussian_noise_variance", (0, 0.1))))
@@ -211,7 +218,8 @@ def make_val_transform_fn(final_patch_size, ds_scales, params, num_modalities: i
         data = jnp.moveaxis(data_bc, 1, -1).astype(jnp.float32)
         seg = seg_b1[:, 0].astype(jnp.float32)
         # center crop to final shape
-        starts = [(data.shape[i + 1] - final_shape[i]) // 2 for i in range(3)]
+        starts = [(data.shape[i + 1] - final_shape[i]) // 2
+                  for i in range(len(final_shape))]
         sl = (slice(None),) + tuple(slice(s, s + f) for s, f in zip(starts, final_shape))
         data = data[sl]
         seg = seg[sl]

@@ -111,11 +111,56 @@ def mirror_augment(rng, data, seg, mirror_axes=(0, 1, 2)):
 
 
 def downsample_seg_for_ds(seg, ds_scales):
-    """Nearest-downsampled label targets per deep-supervision level. seg (B, Z, Y, X);
-    scales are 1/2^k per axis so strided slicing is exact nearest sampling
-    (DownsampleSegForDSTransform2 role)."""
+    """Nearest-downsampled label targets per deep-supervision level.
+    seg (B, *spatial); scales are 1/2^k per axis so strided slicing is exact
+    nearest sampling (DownsampleSegForDSTransform2 role)."""
     out = []
     for scale in ds_scales:
         strides = [int(round(1.0 / s)) for s in scale]
-        out.append(seg[:, ::strides[0], ::strides[1], ::strides[2]])
+        sl = (slice(None),) + tuple(slice(None, None, s) for s in strides)
+        out.append(seg[sl])
     return out
+
+
+@partial(jax.jit, static_argnames=("final_shape", "order_seg"))
+def spatial_augment_2d(rng, data, seg, final_shape, scale_range=(0.7, 1.4),
+                       rot=(-3.1416, 3.1416), p_rot=0.2, p_scale=0.2,
+                       order_seg=1):
+    """2D counterpart of spatial_augment: data (B, Y', X', C), seg (B, Y', X');
+    single in-plane rotation angle (default_2D_augmentation_params uses
+    rotation_x as the in-plane range)."""
+    b = data.shape[0]
+    in_shape = data.shape[1:3]
+    k_rot, k_scale, k_angle, k_s = jax.random.split(rng, 4)
+    do_rot = jax.random.uniform(k_rot, (b,)) < p_rot
+    do_scale = jax.random.uniform(k_scale, (b,)) < p_scale
+    a = jax.random.uniform(k_angle, (b,), minval=rot[0], maxval=rot[1])
+    a = jnp.where(do_rot, a, 0.0)
+    k_s1, k_s2, k_s3 = jax.random.split(k_s, 3)
+    lo = jax.random.uniform(k_s1, (b,), minval=scale_range[0], maxval=1.0)
+    hi = jax.random.uniform(k_s2, (b,), minval=1.0, maxval=scale_range[1])
+    scale = jnp.where(jax.random.uniform(k_s3, (b,)) < 0.5, lo, hi)
+    scale = jnp.where(do_scale, scale, 1.0)
+
+    axes = [jnp.arange(s, dtype=jnp.float32) - (s - 1) / 2.0 for s in final_shape]
+    yy, xx = jnp.meshgrid(*axes, indexing="ij")
+    grid = jnp.stack([yy.ravel(), xx.ravel()])  # (2, N)
+    center_in = jnp.array([(s - 1) / 2.0 for s in in_shape], jnp.float32)
+
+    def warp_one(d, s_map, ang, sc):
+        c, sn = jnp.cos(ang), jnp.sin(ang)
+        r = jnp.array([[c, -sn], [sn, c]])
+        coords = (r @ (grid * sc)) + center_in[:, None]
+        d_out = jax.vmap(
+            lambda v: jax.scipy.ndimage.map_coordinates(
+                v, [coords[0], coords[1]], order=1, mode="constant", cval=0.0),
+            in_axes=-1, out_axes=-1)(d)
+        s_out = jax.scipy.ndimage.map_coordinates(
+            s_map, [coords[0], coords[1]], order=order_seg, mode="constant",
+            cval=-1.0)
+        if order_seg != 0:
+            s_out = jnp.round(s_out)
+        return (d_out.reshape(final_shape + (d.shape[-1],)),
+                s_out.reshape(final_shape))
+
+    return jax.vmap(warp_one)(data, seg, a, scale)

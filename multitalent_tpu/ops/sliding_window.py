@@ -107,49 +107,77 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         gauss = jnp.asarray(get_gaussian_importance_map(patch))[..., None]
     else:
         gauss = jnp.ones(patch, jnp.float32)[..., None]
-    # flip combos are processed in batched chunks: full batching is fastest but a
-    # (96,192,192,47) fp32 prob tensor x8 TTA plus the HBM accumulator overflows a
-    # 16G chip, so the chunk size bounds live activation memory
+    # Flip combos are processed in batched chunks of size `tta_chunk`: full 8-way
+    # batching is fastest but a (96,192,192,47) fp32 prob tensor x8 TTA plus the
+    # HBM accumulator overflows a 16G chip; the chunk bounds live activations.
+    # Crucially the flips are DATA, not structure: the scan runs over
+    # (tile, combo-chunk) steps and applies flips with jnp.where-selected
+    # jnp.flip results, so the compiled program contains exactly ONE forward pass
+    # regardless of TTA factor (8 unrolled forwards made XLA compile times
+    # explode for the 6-stage MultiTalent net).
     chunk = max(1, min(int(tta_chunk), len(combos)))
-    combo_chunks = [combos[i:i + chunk] for i in range(0, len(combos), chunk)]
+    n_chunks = (len(combos) + chunk - 1) // chunk
+    # (n_chunks, chunk, 3) flip masks per spatial axis; repeat the identity combo
+    # to pad the last chunk (its contribution is divided out by averaging over
+    # `valid` below)
+    flip_masks = np.zeros((n_chunks, chunk, 3), np.bool_)
+    valid = np.zeros((n_chunks, chunk, 1), np.float32)
+    for idx, c in enumerate(combos):
+        flip_masks[idx // chunk, idx % chunk, list(c)] = True
+        valid[idx // chunk, idx % chunk, 0] = 1.0
 
-    def forward_tta(params, tile):
-        total = jnp.zeros((*patch, num_classes), jnp.float32)
-        for cc in combo_chunks:
-            batch = jnp.stack(
-                [jnp.flip(tile, axis=c) if c else tile for c in cc], axis=0)
-            logits = apply_fn(params, batch).astype(jnp.float32)
-            if nonlin == "softmax":
-                probs = jax.nn.softmax(logits, axis=-1)
-            elif nonlin == "sigmoid":
-                probs = jax.nn.sigmoid(logits)
-            else:
-                probs = logits
-            for i, c in enumerate(cc):
-                total = total + (jnp.flip(probs[i], axis=c) if c else probs[i])
-        return total / len(combos)
+    def flip_sel(x, bits):
+        # x (*spatial, C); bits (3,) bool — flip each spatial axis where set
+        for ax in range(3):
+            x = jnp.where(bits[ax], jnp.flip(x, axis=ax), x)
+        return x
+
+    def forward_chunk(params, tile, bits_chunk, valid_chunk):
+        batch = jax.vmap(lambda b: flip_sel(tile, b))(bits_chunk)
+        logits = apply_fn(params, batch).astype(jnp.float32)
+        if nonlin == "softmax":
+            probs = jax.nn.softmax(logits, axis=-1)
+        elif nonlin == "sigmoid":
+            probs = jax.nn.sigmoid(logits)
+        else:
+            probs = logits
+        unflipped = jax.vmap(flip_sel)(probs, bits_chunk)
+        v = valid_chunk.reshape((valid_chunk.shape[0],) + (1,) * (unflipped.ndim - 1))
+        return jnp.sum(unflipped * v, axis=0)
 
     @jax.jit
     def run(params, padded_volume, coords, tile_weights):
         out_shape = padded_volume.shape[:-1] + (num_classes,)
         acc = jnp.zeros(out_shape, jnp.float32)
         cnt = jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float32)
+        tile_sum0 = jnp.zeros((*patch, num_classes), jnp.float32)
+        bits = jnp.asarray(flip_masks)
+        vmask = jnp.asarray(valid)
+        n_tiles = coords.shape[0]
 
-        def body(carry, i):
-            a, c = carry
+        def body(carry, step):
+            a, c, tile_sum = carry
+            i = step // n_chunks          # tile index
+            j = step % n_chunks           # combo-chunk index
             z, y, x = coords[i, 0], coords[i, 1], coords[i, 2]
             tile = jax.lax.dynamic_slice(
                 padded_volume, (z, y, x, 0), (*patch, in_channels))
-            probs = forward_tta(params, tile)
-            w = tile_weights[i]
-            contrib = probs * gauss * w
+            tile_sum = tile_sum + forward_chunk(params, tile, bits[j], vmask[j])
+            # on the tile's last chunk: fold the averaged TTA prediction into the
+            # global accumulators and reset the per-tile sum
+            is_last = (j == n_chunks - 1).astype(jnp.float32)
+            w = tile_weights[i] * is_last
+            probs = tile_sum / len(combos)
             cur = jax.lax.dynamic_slice(a, (z, y, x, 0), (*patch, num_classes))
-            a = jax.lax.dynamic_update_slice(a, cur + contrib, (z, y, x, 0))
+            a = jax.lax.dynamic_update_slice(a, cur + probs * gauss * w,
+                                             (z, y, x, 0))
             cur_c = jax.lax.dynamic_slice(c, (z, y, x, 0), (*patch, 1))
             c = jax.lax.dynamic_update_slice(c, cur_c + gauss * w, (z, y, x, 0))
-            return (a, c), None
+            tile_sum = tile_sum * (1.0 - is_last)
+            return (a, c, tile_sum), None
 
-        (acc, cnt), _ = jax.lax.scan(body, (acc, cnt), jnp.arange(coords.shape[0]))
+        (acc, cnt, _), _ = jax.lax.scan(
+            body, (acc, cnt, tile_sum0), jnp.arange(n_tiles * n_chunks))
         # guard only voxels never touched by any tile (cannot occur for a valid
         # step grid); tiny gaussian-tail weights must divide exactly (parity with
         # aggregated_results / aggregated_nb_of_predictions, neural_network.py:399)

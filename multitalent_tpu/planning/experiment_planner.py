@@ -329,3 +329,62 @@ class ExperimentPlanner3Dv21(ExperimentPlannerBase):
                 target_axis = max(max(other_spacings), target_axis) + 1e-5
             target[worst_axis] = target_axis
         return target
+
+
+@PLANNERS.register(aliases=("ExperimentPlanner2D_v21",))
+class ExperimentPlanner2Dv21(ExperimentPlanner3Dv21):
+    """2D configuration planner (experiment_planner_baseline_2DUNet_v21.py parity):
+    slices are training samples, patches cover the in-plane axes at the 3D target
+    spacing, batch size starts at 50 capped by the dataset-coverage rule, and
+    PreprocessorFor2D keeps the through-plane axis unresampled."""
+
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.data_identifier = "MTTPUData_plans_v2.1_2D"
+        self.plans_fname = os.path.join(preprocessed_output_folder,
+                                        "MTTPUPlansv2.1_plans_2D.pkl")
+        self.preprocessor_name = "PreprocessorFor2D"
+        self.unet_max_num_filters = nt.MAX_FILTERS_2D
+
+    def memory_budget(self) -> float:
+        return nt.MEMORY_BUDGET_2D * self.unet_base_num_features / nt.BASE_NUM_FEATURES
+
+    def get_properties_for_stage(self, current_spacing, original_spacing,
+                                 original_shape, num_cases, num_modalities,
+                                 num_classes) -> dict:
+        new_median_shape = np.round(
+            np.asarray(original_spacing) / np.asarray(current_spacing)
+            * original_shape).astype(int)
+        dataset_num_voxels = int(np.prod(new_median_shape, dtype=np.int64)) * num_cases
+        input_patch_size = [int(i) for i in new_median_shape[1:]]  # in-plane only
+
+        ref = self.memory_budget()
+        num_pool_per_axis, pool_ops, conv_ks, new_shp, here = shrink_patch_to_fit(
+            input_patch_size, new_median_shape[1:], current_spacing[1:], ref,
+            self.unet_base_num_features, self.unet_max_num_filters, num_modalities,
+            num_classes, self.conv_per_stage, self.unet_featuremap_min_edge_length,
+            self.unet_max_numpool, self.topology)
+
+        batch_size = int(np.round(ref / here * nt.DEFAULT_BATCH_SIZE_2D))
+        # cap: one batch may cover at most 5% of the dataset's (slice) entities
+        max_batch = np.round(self.batch_size_covers_max_percent_of_dataset
+                             * dataset_num_voxels
+                             / np.prod(new_shp, dtype=np.int64)).astype(int)
+        batch_size = int(max(min(batch_size, max_batch), self.unet_min_batch_size))
+
+        return {
+            "batch_size": batch_size,
+            "num_pool_per_axis": num_pool_per_axis,
+            "patch_size": np.asarray(new_shp, dtype=int),
+            "median_patient_size_in_voxels": new_median_shape,
+            "current_spacing": np.asarray(current_spacing),
+            "original_spacing": np.asarray(original_spacing),
+            "pool_op_kernel_sizes": pool_ops,
+            "conv_kernel_sizes": conv_ks,
+            "do_dummy_2D_data_aug": False,
+        }
+
+    def plan_experiment(self) -> dict:
+        # 2D never cascades: disable the lowres-stage trigger
+        self.how_much_of_a_patient_must_the_network_see_at_stage0 = float("inf")
+        return super().plan_experiment()

@@ -242,3 +242,58 @@ def test_task_tables_consistency():
     props = mt.attach_region_annotations({}, "009_spleen_07")
     assert props["valid_regions"] == ("09_spleen",)
     assert props["valid_labels"] == [8]
+
+
+def test_trainer_2d_path(tmp_path, short_loop_cls):
+    """2D configuration: PatchSampler2D + 2D augmentation + 2D GenericUNet."""
+    dd = make_preprocessed(tmp_path, shape=(8, 24, 24))
+    plans = tiny_plans()
+    d = plans.to_dict()
+    d["plans_per_stage"] = {0: {
+        "batch_size": 4, "patch_size": (16, 16),
+        "current_spacing": (3.0, 1.0, 1.0), "original_spacing": (3.0, 1.0, 1.0),
+        "median_patient_size_in_voxels": (8, 24, 24),
+        "num_pool_per_axis": [2, 2],
+        "pool_op_kernel_sizes": [[2, 2], [2, 2]],
+        "conv_kernel_sizes": [[3, 3]] * 3,
+    }}
+    from multitalent_tpu.plans import Plans
+    t = short_loop_cls(Plans.from_dict(d), 0, str(tmp_path / "out2d"), dd)
+    t.max_num_epochs = 1
+    t.initialize(True)
+    assert not t.threeD
+    t.run_training()
+    assert np.isfinite(t.all_tr_losses).all()
+
+
+def test_2d_planner_on_synthetic_fingerprint(tmp_path):
+    """ExperimentPlanner2D_v21 produces a single-stage 2D plan."""
+    from multitalent_tpu.planning.experiment_planner import ExperimentPlanner2Dv21
+    from multitalent_tpu.utils import save_pickle
+    cropped = tmp_path / "cropped"
+    cropped.mkdir()
+    rng = np.random.default_rng(0)
+    sizes = [[40, 192, 192]] * 6
+    spacings = [[3.0, 0.8, 0.8]] * 6
+    props = {
+        "all_sizes": sizes, "all_spacings": spacings,
+        "all_classes": [1, 2], "modalities": {0: "CT"},
+        "size_reductions": {f"c{i}": 1.0 for i in range(6)},
+        "intensityproperties": {0: {"percentile_00_5": -100.0,
+                                    "percentile_99_5": 200.0,
+                                    "mean": 50.0, "sd": 30.0}},
+    }
+    save_pickle(props, cropped / "dataset_properties.pkl")
+    # planner scans npz files for the 5%-coverage rule; fake minimal entries
+    for i in range(6):
+        np.savez_compressed(cropped / f"c{i}.npz", data=np.zeros((1, 1, 1, 1)))
+        save_pickle({}, cropped / f"c{i}.pkl")
+    out = tmp_path / "preproc"
+    out.mkdir()
+    planner = ExperimentPlanner2Dv21(str(cropped), str(out))
+    plans = planner.plan_experiment()
+    assert plans["num_stages"] == 1
+    st = plans["plans_per_stage"][0]
+    assert len(st["patch_size"]) == 2
+    assert st["batch_size"] >= 2
+    assert all(len(k) == 2 for k in st["pool_op_kernel_sizes"])
