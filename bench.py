@@ -97,6 +97,32 @@ def a100_baseline_volumes_per_min(volume_shape) -> float:
     return a100_flops_per_s * 60.0 / vol_flops
 
 
+def pick_device():
+    """Default accelerator if it answers a tiny jitted op within a timeout, else
+    the host CPU (tunnelled TPU backends can be reachable but hung)."""
+    from concurrent.futures import ThreadPoolExecutor
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        return dev, False
+
+    def probe():
+        x = jax.device_put(jnp.zeros((8, 128)), dev)
+        return float(jax.jit(lambda v: (v + 1).sum())(x))
+
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(probe)
+        try:
+            fut.result(timeout=180)
+            return dev, True
+        except Exception:
+            print("# accelerator probe failed; falling back to CPU",
+                  flush=True)
+            return jax.devices("cpu")[0], False
+
+
 def main() -> None:
     import os
     import sys
@@ -115,14 +141,27 @@ def main() -> None:
     from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
     from __graft_entry__ import _flagship_model
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    device, on_tpu = pick_device()
     # representative abdominal CT at MultiTalent target spacing (1.5, 1, 1)
     volume_shape = (256, 320, 320) if on_tpu else (96, 192, 192)
 
-    model = _flagship_model()
-    patch = (96, 192, 192)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                 jnp.zeros((1, *patch, 1)))["params"]
+    if on_tpu:
+        model = _flagship_model()
+        patch = (96, 192, 192)
+    else:
+        # CPU fallback: same topology at half scale so the benchmark still runs
+        import jax.numpy as _jnp
+        from multitalent_tpu.models.generic_unet import GenericUNet
+        from __graft_entry__ import FLAGSHIP_KERNELS, FLAGSHIP_POOLS
+        model = GenericUNet(input_channels=1, base_num_features=30,
+                            num_classes=47,
+                            pool_op_kernel_sizes=FLAGSHIP_POOLS,
+                            conv_kernel_sizes=FLAGSHIP_KERNELS,
+                            deep_supervision=False, dtype=_jnp.bfloat16)
+        patch = (48, 96, 96)
+    example = jax.device_put(jnp.zeros((1, *patch, 1)), device)
+    params = jax.jit(model.init)(jax.device_put(jax.random.PRNGKey(0), device),
+                                 example)["params"]
 
     def apply_fn(p, batch):
         return model.apply({"params": p}, batch, deep_supervision=False)
@@ -130,7 +169,7 @@ def main() -> None:
     predictor = SlidingWindowPredictor(
         apply_fn, patch, in_channels=1, num_classes=47, nonlin="sigmoid",
         step_size=0.5, do_mirroring=True, mirror_axes=(0, 1, 2),
-        use_gaussian=True)
+        use_gaussian=True, device=device)
 
     vol = np.random.RandomState(0).randn(1, *volume_shape).astype(np.float32)
 
@@ -145,11 +184,24 @@ def main() -> None:
     assert out.shape == (47, *volume_shape)
 
     volumes_per_min = 60.0 / elapsed
-    baseline = a100_baseline_volumes_per_min(volume_shape)
+    # scale the baseline to the volume/patch actually used so the ratio stays
+    # meaningful on the CPU fallback path
+    from multitalent_tpu.ops.sliding_window import compute_steps_for_sliding_window
+    padded = [max(s, p) for s, p in zip(volume_shape, patch)]
+    steps = compute_steps_for_sliding_window(patch, padded, 0.5)
+    n_tiles = int(np.prod([len(s) for s in steps]))
+    per_tile = unet_forward_flops(patch, base_features=30, num_pool=5,
+                                  num_classes=47,
+                                  pool_kernels=[[2, 2, 2]] * 4 + [[1, 2, 2]])
+    vol_flops = per_tile * n_tiles * 8
+    liver_fwd = unet_forward_flops((128, 128, 128), base_features=32, num_pool=5,
+                                   num_classes=3)
+    a100_flops_per_s = 500 * 3 * liver_fwd / 41.49
+    baseline = a100_flops_per_s * 60.0 / vol_flops
     print(json.dumps({
         "metric": "multitalent_sliding_window_volumes_per_min",
         "value": round(volumes_per_min, 3),
-        "unit": f"volumes/min (vol {volume_shape}, patch 96x192x192, 8x TTA, "
+        "unit": f"volumes/min (vol {volume_shape}, patch {patch}, 8x TTA, "
                 f"{'tpu' if on_tpu else 'cpu-fallback'})",
         "vs_baseline": round(volumes_per_min / baseline, 3),
     }))

@@ -8,16 +8,23 @@ accumulated with gaussian weights and divided by the accumulated weight
 (`_internal_predict_3D_3Dconv_tiled`:287-428, `_internal_maybe_mirror_and_pred_3D`
 :502-591).
 
-TPU-native design (all inside ONE jitted program per (patch, #tiles-bucket)):
+TPU-native design:
 
-- the whole padded volume lives in HBM; tiles are `dynamic_slice` views
-- mirror TTA is a single batched forward over all 2^|mirror_axes| flip combinations
-  (the reference runs 8 sequential forward passes per tile)
-- gaussian-weighted accumulation is a `lax.scan` over tiles with
-  dynamic_update_slice read-modify-write on fp32 accumulators — no host round-trips
-- variable tile counts are bucketed: the coordinate list is padded with zero-weight
-  tiles so XLA compiles one program per bucket instead of one per image shape
-  (zero-weight tiles contribute exactly nothing, preserving numerical parity)
+- the whole padded volume and the fp32 accumulators live in HBM across the whole
+  prediction; tiles are `dynamic_slice` views
+- ONE jitted step processes one (tile, TTA-chunk): batched flipped forward,
+  gaussian-weighted read-modify-write into donated accumulators. The host loops
+  over tiles issuing async dispatches — compile cost is that of a single forward
+  pass (a scan-over-tiles variant made XLA compile times explode for large
+  patches), per-step dispatch overhead is microseconds against ~100ms of compute,
+  and arbitrary image sizes share the same compiled program (no recompiles, no
+  bucketing)
+- mirror TTA flips are applied/undone inside the step as a batch of
+  `tta_chunk` combinations (chunking bounds live activation memory: a full 8-way
+  (96,192,192,47) fp32 batch plus accumulators overflows a 16G chip)
+- per-axis padding to the patch size happens on host once; accumulators divide
+  elementwise at the end (gaussian parity with the reference's
+  aggregated_results / aggregated_nb_of_predictions)
 """
 from __future__ import annotations
 
@@ -87,17 +94,9 @@ def mirror_combinations(mirror_axes: tuple[int, ...]) -> list[tuple[int, ...]]:
     return combos
 
 
-def bucket_num_tiles(n: int) -> int:
-    """Round the tile count up to a small set of buckets to bound recompilation."""
-    if n <= 8:
-        return 8
-    return int(2 ** np.ceil(np.log2(n)))
-
-
 @lru_cache(maxsize=32)
 def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
-                       mirror_axes, use_gaussian, nonlin, n_tiles_padded,
-                       tta_chunk):
+                       mirror_axes, use_gaussian, nonlin, tta_chunk):
     """Builds + jits the scan-over-tiles program. apply_fn_id carries the callable
     (wrapped for hashability by the caller)."""
     apply_fn = apply_fn_id.fn
@@ -107,24 +106,16 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         gauss = jnp.asarray(get_gaussian_importance_map(patch))[..., None]
     else:
         gauss = jnp.ones(patch, jnp.float32)[..., None]
-    # Flip combos are processed in batched chunks of size `tta_chunk`: full 8-way
-    # batching is fastest but a (96,192,192,47) fp32 prob tensor x8 TTA plus the
-    # HBM accumulator overflows a 16G chip; the chunk bounds live activations.
-    # Crucially the flips are DATA, not structure: the scan runs over
-    # (tile, combo-chunk) steps and applies flips with jnp.where-selected
-    # jnp.flip results, so the compiled program contains exactly ONE forward pass
-    # regardless of TTA factor (8 unrolled forwards made XLA compile times
-    # explode for the 6-stage MultiTalent net).
     chunk = max(1, min(int(tta_chunk), len(combos)))
     n_chunks = (len(combos) + chunk - 1) // chunk
-    # (n_chunks, chunk, 3) flip masks per spatial axis; repeat the identity combo
-    # to pad the last chunk (its contribution is divided out by averaging over
-    # `valid` below)
+    # (n_chunks, chunk, 3) flip masks; the identity combo pads the last chunk with
+    # weight 0. Flips are DATA (jnp.where-selected jnp.flip), so one compiled
+    # program serves every chunk.
     flip_masks = np.zeros((n_chunks, chunk, 3), np.bool_)
-    valid = np.zeros((n_chunks, chunk, 1), np.float32)
+    valid = np.zeros((n_chunks, chunk), np.float32)
     for idx, c in enumerate(combos):
         flip_masks[idx // chunk, idx % chunk, list(c)] = True
-        valid[idx // chunk, idx % chunk, 0] = 1.0
+        valid[idx // chunk, idx % chunk] = 1.0
 
     def flip_sel(x, bits):
         # x (*spatial, C); bits (3,) bool — flip each spatial axis where set
@@ -132,8 +123,14 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             x = jnp.where(bits[ax], jnp.flip(x, axis=ax), x)
         return x
 
-    def forward_chunk(params, tile, bits_chunk, valid_chunk):
-        batch = jax.vmap(lambda b: flip_sel(tile, b))(bits_chunk)
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(acc, cnt, params, padded_volume, coord, bits, vmask, weight):
+        """Process one (tile, TTA-chunk): batched flipped forward, accumulate the
+        unflipped probability sum into the tile's accumulator region."""
+        z, y, x = coord[0], coord[1], coord[2]
+        tile = jax.lax.dynamic_slice(padded_volume, (z, y, x, 0),
+                                     (*patch, in_channels))
+        batch = jax.vmap(lambda b: flip_sel(tile, b))(bits)
         logits = apply_fn(params, batch).astype(jnp.float32)
         if nonlin == "softmax":
             probs = jax.nn.softmax(logits, axis=-1)
@@ -141,47 +138,43 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             probs = jax.nn.sigmoid(logits)
         else:
             probs = logits
-        unflipped = jax.vmap(flip_sel)(probs, bits_chunk)
-        v = valid_chunk.reshape((valid_chunk.shape[0],) + (1,) * (unflipped.ndim - 1))
-        return jnp.sum(unflipped * v, axis=0)
+        unflipped = jax.vmap(flip_sel)(probs, bits)
+        v = vmask.reshape((vmask.shape[0],) + (1,) * (unflipped.ndim - 1))
+        mean_scaled = jnp.sum(unflipped * v, axis=0) / len(combos)
+
+        contrib = mean_scaled * gauss * weight
+        cur = jax.lax.dynamic_slice(acc, (z, y, x, 0), (*patch, num_classes))
+        acc = jax.lax.dynamic_update_slice(acc, cur + contrib, (z, y, x, 0))
+        cur_c = jax.lax.dynamic_slice(cnt, (z, y, x, 0), (*patch, 1))
+        cnt = jax.lax.dynamic_update_slice(
+            cnt, cur_c + gauss * (weight / len(combos)) * jnp.sum(v),
+            (z, y, x, 0))
+        return acc, cnt
 
     @jax.jit
-    def run(params, padded_volume, coords, tile_weights):
-        out_shape = padded_volume.shape[:-1] + (num_classes,)
-        acc = jnp.zeros(out_shape, jnp.float32)
-        cnt = jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float32)
-        tile_sum0 = jnp.zeros((*patch, num_classes), jnp.float32)
-        bits = jnp.asarray(flip_masks)
-        vmask = jnp.asarray(valid)
-        n_tiles = coords.shape[0]
-
-        def body(carry, step):
-            a, c, tile_sum = carry
-            i = step // n_chunks          # tile index
-            j = step % n_chunks           # combo-chunk index
-            z, y, x = coords[i, 0], coords[i, 1], coords[i, 2]
-            tile = jax.lax.dynamic_slice(
-                padded_volume, (z, y, x, 0), (*patch, in_channels))
-            tile_sum = tile_sum + forward_chunk(params, tile, bits[j], vmask[j])
-            # on the tile's last chunk: fold the averaged TTA prediction into the
-            # global accumulators and reset the per-tile sum
-            is_last = (j == n_chunks - 1).astype(jnp.float32)
-            w = tile_weights[i] * is_last
-            probs = tile_sum / len(combos)
-            cur = jax.lax.dynamic_slice(a, (z, y, x, 0), (*patch, num_classes))
-            a = jax.lax.dynamic_update_slice(a, cur + probs * gauss * w,
-                                             (z, y, x, 0))
-            cur_c = jax.lax.dynamic_slice(c, (z, y, x, 0), (*patch, 1))
-            c = jax.lax.dynamic_update_slice(c, cur_c + gauss * w, (z, y, x, 0))
-            tile_sum = tile_sum * (1.0 - is_last)
-            return (a, c, tile_sum), None
-
-        (acc, cnt, _), _ = jax.lax.scan(
-            body, (acc, cnt, tile_sum0), jnp.arange(n_tiles * n_chunks))
+    def finalize(acc, cnt):
         # guard only voxels never touched by any tile (cannot occur for a valid
         # step grid); tiny gaussian-tail weights must divide exactly (parity with
         # aggregated_results / aggregated_nb_of_predictions, neural_network.py:399)
         return acc / jnp.where(cnt == 0, 1.0, cnt)
+
+    # per-chunk flip masks as host arrays: avoids eager device indexing ops (each
+    # distinct eager op is its own compiled executable — expensive on remote-
+    # compile backends)
+    bits_list = [np.ascontiguousarray(flip_masks[j]) for j in range(n_chunks)]
+    valid_list = [np.ascontiguousarray(valid[j]) for j in range(n_chunks)]
+    one = np.float32(1.0)
+
+    def run(params, padded_volume, coords_host: np.ndarray):
+        out_shape = padded_volume.shape[:-1] + (num_classes,)
+        acc = jnp.zeros(out_shape, jnp.float32)
+        cnt = jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float32)
+        for i in range(coords_host.shape[0]):
+            coord = np.ascontiguousarray(coords_host[i])
+            for j in range(n_chunks):
+                acc, cnt = step(acc, cnt, params, padded_volume, coord,
+                                bits_list[j], valid_list[j], one)
+        return finalize(acc, cnt)
 
     return run
 
@@ -208,7 +201,8 @@ class SlidingWindowPredictor:
     def __init__(self, apply_fn, patch_size, in_channels: int, num_classes: int,
                  nonlin: str = "softmax", step_size: float = 0.5,
                  do_mirroring: bool = True, mirror_axes: tuple[int, ...] = (0, 1, 2),
-                 use_gaussian: bool = True, tta_chunk: int = 2):
+                 use_gaussian: bool = True, tta_chunk: int = 2, device=None):
+        self.device = device  # optional jax.Device pin (default: backend default)
         self.apply_fn = _HashableFn(apply_fn)
         self.patch_size = tuple(int(p) for p in patch_size)
         self.in_channels = in_channels
@@ -227,22 +221,14 @@ class SlidingWindowPredictor:
 
     def __call__(self, params, volume_czyx: np.ndarray) -> np.ndarray:
         """volume (C, Z, Y, X) float32 -> class/region probabilities (K, Z, Y, X)."""
+        import jax
         vol = np.moveaxis(np.ascontiguousarray(volume_czyx, np.float32), 0, -1)
         padded, slicer = pad_to_patch(vol, self.patch_size)
         coords = self.tile_coords(padded.shape[:-1])
-        n = coords.shape[0]
-        n_padded = bucket_num_tiles(n)
-        weights = np.zeros((n_padded,), np.float32)
-        weights[:n] = 1.0
-        coords_padded = np.zeros((n_padded, 3), np.int32)
-        coords_padded[:n] = coords
-
         runner = _make_tiled_runner(
             self.apply_fn, self.patch_size, self.in_channels, self.num_classes,
-            self.mirror_axes, self.use_gaussian, self.nonlin, n_padded,
-            self.tta_chunk)
-        probs = runner(params, padded, jnp.asarray(coords_padded),
-                       jnp.asarray(weights))
+            self.mirror_axes, self.use_gaussian, self.nonlin, self.tta_chunk)
+        probs = runner(params, jax.device_put(padded, self.device), coords)
         probs = np.asarray(probs)[tuple(slicer) + (slice(None),)]
         return np.moveaxis(probs, -1, 0)
 

@@ -269,3 +269,26 @@ class MultiTalentTrainerResenc2000ep(MultiTalentTrainerResenc):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.max_num_epochs = 2000
+
+
+@TRAINERS.register(aliases=("Multitalent_mednextt", "MultiTalent_meets_mednext"))
+class MultiTalentTrainerMedNeXt(MultiTalentTrainer):
+    """MultiTalent over the MedNeXt backbone
+    (competitions_with_custom_Trainers/.../MultiTalent_meets_mednext.py:51-120:
+    n_channels 32, kernel 3, exp_r/block_counts [3,4,8,8,8,8,8,4,3], additive
+    skips, 5 deep-supervision levels at dyadic scales)."""
+
+    def setup_DA_params(self) -> None:
+        super().setup_DA_params()
+        from multitalent_tpu.augment.pipeline import ds_scales_from_pools
+        # MedNeXt always downsamples 2x per level, 4 levels + bottleneck
+        self.deep_supervision_scales = ds_scales_from_pools([[2, 2, 2]] * 5)
+
+    def initialize_network(self) -> None:
+        from multitalent_tpu.models.mednext import MedNeXt
+        self.network = MedNeXt(
+            in_channels=self.num_input_channels, n_channels=32,
+            n_classes=NUM_REGIONS,
+            dtype=jnp.bfloat16 if self.fp16 else jnp.float32)
+        self.inference_nonlin = "sigmoid"
+        self.regions_class_order = list(range(self.num_classes))

@@ -84,3 +84,21 @@ def test_resenc_gradients_flow():
     leaves = jax.tree.leaves(g)
     assert all(np.all(np.isfinite(l)) for l in leaves)
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_mednext_shapes_and_grads():
+    """MedNeXt backbone: 5 DS outputs at dyadic scales, finite gradients."""
+    from multitalent_tpu.models.mednext import MedNeXt
+    net = MedNeXt(in_channels=1, n_channels=4, n_classes=3,
+                  exp_r=(2,) * 9, block_counts=(1,) * 9, remat=False,
+                  dtype=jnp.float32)
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    params = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(params, x)
+    assert len(outs) == 5
+    assert outs[0].shape == (1, 16, 16, 16, 3)
+    assert outs[4].shape == (1, 1, 1, 1, 3)
+    g = jax.grad(lambda p: sum(jnp.mean(o ** 2) for o in net.apply(p, x)))(params)
+    assert all(np.isfinite(l).all() for l in jax.tree.leaves(g))
+    single = net.apply(params, x, deep_supervision=False)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(outs[0]))

@@ -8,7 +8,6 @@ import numpy as np
 import pytest
 
 from multitalent_tpu.ops.sliding_window import (SlidingWindowPredictor,
-                                                bucket_num_tiles,
                                                 compute_steps_for_sliding_window,
                                                 get_gaussian_importance_map,
                                                 mirror_combinations, pad_to_patch,
@@ -80,13 +79,6 @@ def test_mirror_combinations():
     assert mirror_combinations(()) == [()]
     assert len(mirror_combinations((0, 1, 2))) == 8
     assert () in mirror_combinations((0, 1))
-
-
-def test_bucket_num_tiles():
-    assert bucket_num_tiles(1) == 8
-    assert bucket_num_tiles(8) == 8
-    assert bucket_num_tiles(9) == 16
-    assert bucket_num_tiles(100) == 128
 
 
 def test_tiled_predictor_matches_dense_linear_model():
