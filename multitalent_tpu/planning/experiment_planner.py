@@ -388,3 +388,106 @@ class ExperimentPlanner2Dv21(ExperimentPlanner3Dv21):
         # 2D never cascades: disable the lowres-stage trigger
         self.how_much_of_a_patient_must_the_network_see_at_stage0 = float("inf")
         return super().plan_experiment()
+
+
+@PLANNERS.register(aliases=("ExperimentPlanner3DFabiansResUNet_v21",))
+class ExperimentPlannerResencV21(ExperimentPlanner3Dv21):
+    """Residual-encoder (FabiansUNet) planner
+    (alternative_experiment_planning/experiment_planner_residual_3DUNet_v21.py:26-131):
+    pool kernels get a leading [1,1,1] stage, per-stage block counts come from the
+    FabiansUNet defaults truncated to the stage count, the memory proxy is the
+    residual-encoder + plain-decoder formula, batch size floors at 2."""
+
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.data_identifier = "MTTPUData_plans_v2.1"
+        self.plans_fname = os.path.join(preprocessed_output_folder,
+                                        "MTTPUPlans_FabiansResUNet_v2.1_plans_3D.pkl")
+
+    def get_properties_for_stage(self, current_spacing, original_spacing,
+                                 original_shape, num_cases, num_modalities,
+                                 num_classes) -> dict:
+        new_median_shape = np.round(
+            np.asarray(original_spacing) / np.asarray(current_spacing)
+            * original_shape).astype(int)
+        dataset_num_voxels = np.prod(new_median_shape, dtype=np.int64) * num_cases
+        input_patch_size = initial_isotropic_patch(current_spacing, new_median_shape)
+
+        def topo(shape):
+            num_pool_per_axis, pools, convs, new_shp, must_div = \
+                nt.get_pool_and_conv_props(current_spacing, shape,
+                                           self.unet_featuremap_min_edge_length,
+                                           self.unet_max_numpool)
+            pools = [[1, 1, 1]] + pools
+            be = nt.RESENC_BLOCKS_ENCODER[:len(pools)]
+            bd = nt.RESENC_BLOCKS_DECODER[:len(pools) - 1]
+            return num_pool_per_axis, pools, convs, new_shp, must_div, be, bd
+
+        ref = nt.RESENC_BUDGET_3D
+        num_pool_per_axis, pools, convs, new_shp, must_div, be, bd = topo(
+            input_patch_size)
+        here = nt.compute_resenc_memory_proxy(
+            new_shp, self.unet_base_num_features, self.unet_max_num_filters,
+            num_modalities, num_classes, pools, be, bd, 2,
+            nt.RESENC_MIN_BATCH_SIZE)
+        while here > ref:
+            axis_to_reduce = int(np.argsort(new_shp / new_median_shape)[-1])
+            tmp = new_shp.copy()
+            tmp[axis_to_reduce] -= must_div[axis_to_reduce]
+            _, _, _, _, must_div_new, _, _ = topo(tmp)
+            new_shp[axis_to_reduce] -= must_div_new[axis_to_reduce]
+            num_pool_per_axis, pools, convs, new_shp, must_div, be, bd = topo(new_shp)
+            here = nt.compute_resenc_memory_proxy(
+                new_shp, self.unet_base_num_features, self.unet_max_num_filters,
+                num_modalities, num_classes, pools, be, bd, 2,
+                nt.RESENC_MIN_BATCH_SIZE)
+
+        batch_size = int(np.floor(max(ref / here, 1) * nt.RESENC_MIN_BATCH_SIZE))
+        max_batch = np.round(self.batch_size_covers_max_percent_of_dataset
+                             * dataset_num_voxels
+                             / np.prod(new_shp, dtype=np.int64)).astype(int)
+        batch_size = max(1, min(batch_size, max(max_batch, self.unet_min_batch_size)))
+        do_dummy_2D = (max(new_shp) / new_shp[0]) > self.anisotropy_threshold
+
+        return {
+            "batch_size": batch_size,
+            "num_pool_per_axis": num_pool_per_axis,
+            "patch_size": np.asarray(new_shp, dtype=int),
+            "median_patient_size_in_voxels": new_median_shape,
+            "current_spacing": np.asarray(current_spacing),
+            "original_spacing": np.asarray(original_spacing),
+            "do_dummy_2D_data_aug": bool(do_dummy_2D),
+            "pool_op_kernel_sizes": pools,
+            "conv_kernel_sizes": convs,
+            "num_blocks_encoder": tuple(be),
+            "num_blocks_decoder": tuple(bd),
+        }
+
+
+@PLANNERS.register(aliases=("ExperimentPlanner3D_v21_MemoryTarget",
+                            "ExperimentPlanner3D_v21_11GB"))
+class ExperimentPlanner11GB(ExperimentPlanner3Dv21):
+    """Smaller memory target (alternative planners *_11GB etc.)."""
+
+    # reference default targets ~8GB; scale for an 11GB card
+    memory_scale = 11.0 / 8.0
+
+    def memory_budget(self) -> float:
+        return super().memory_budget() * self.memory_scale
+
+
+@PLANNERS.register(aliases=("ExperimentPlanner3D_v21_32GB",))
+class ExperimentPlanner32GB(ExperimentPlanner3Dv21):
+    """4x memory target for very large accelerators."""
+
+    def memory_budget(self) -> float:
+        return super().memory_budget() * 4.0
+
+
+@PLANNERS.register(aliases=("ExperimentPlanner3D_v21_3convperstage",))
+class ExperimentPlanner3ConvPerStage(ExperimentPlanner3Dv21):
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.conv_per_stage = 3
+        self.plans_fname = os.path.join(preprocessed_output_folder,
+                                        "MTTPUPlansv2.1_3cps_plans_3D.pkl")

@@ -145,3 +145,37 @@ def compute_memory_proxy(patch_size, num_pool_per_axis, base_num_features, max_n
         if deep_supervision and p < (npool - 2):
             total += np.prod(map_size, dtype=np.int64) * num_classes
     return int(total)
+
+
+RESENC_BUDGET_3D = 1230348801.0  # FabiansUNet.use_this_for_3D_configuration
+RESENC_BLOCKS_ENCODER = (1, 2, 3, 4, 4, 4, 4, 4, 4, 4, 4)
+RESENC_BLOCKS_DECODER = (1, 1, 1, 1, 1, 1, 1, 1, 1, 1)
+RESENC_MIN_BATCH_SIZE = 2
+
+
+def compute_resenc_memory_proxy(patch_size, base_num_features, max_num_features,
+                                num_modalities, num_classes, pool_op_kernel_sizes,
+                                blocks_encoder, blocks_decoder, feat_mul,
+                                batch_size) -> float:
+    """FabiansUNet memory proxy = residual-encoder + plain-decoder terms
+    (generic_modular_residual_UNet.py:210-229 + generic_modular_UNet.py:294-321):
+    encoder stage p costs (blocks*2+1) activations, decoder stage (blocks+1)."""
+    npool = len(pool_op_kernel_sizes) - 1
+    shape = np.array(patch_size, dtype=np.float64)
+    enc = ((blocks_encoder[0] * 2 + 1) * np.prod(shape) * base_num_features
+           + num_modalities * np.prod(shape))
+    feat = base_num_features
+    for p in range(1, npool + 1):
+        shape = shape / np.array(pool_op_kernel_sizes[p], dtype=np.float64)
+        feat = min(feat * feat_mul, max_num_features)
+        enc += (blocks_encoder[p] * 2 + 1) * np.prod(shape) * feat
+
+    shape = np.array(patch_size, dtype=np.float64)
+    dec = ((blocks_decoder[-1] + 1) * np.prod(shape) * base_num_features
+           + num_classes * np.prod(shape))
+    feat = base_num_features
+    for p in range(1, npool):
+        shape = shape / np.array(pool_op_kernel_sizes[p], dtype=np.float64)
+        feat = min(feat * feat_mul, max_num_features)
+        dec += (blocks_decoder[-(p + 1)] + 1) * np.prod(shape) * feat
+    return float((enc + dec) * batch_size)

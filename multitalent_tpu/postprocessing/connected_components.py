@@ -14,7 +14,7 @@ import os
 import shutil
 
 import numpy as np
-from scipy.ndimage import label
+from multitalent_tpu.native import label_3d
 
 from multitalent_tpu.evaluation.evaluator import aggregate_scores
 from multitalent_tpu.io.nifti import read_nifti, write_nifti
@@ -41,7 +41,11 @@ def remove_all_but_the_largest_connected_component(
             mask = np.isin(image, c)
         else:
             mask = image == c
-        lmap, num_objects = label(mask.astype(int))
+        if mask.ndim == 3:
+            lmap, num_objects = label_3d(mask)  # native C++ path w/ scipy fallback
+        else:
+            from scipy.ndimage import label as _slabel
+            lmap, num_objects = _slabel(mask.astype(int))
         largest_removed[c] = None
         kept_size[c] = None
         if num_objects == 0:

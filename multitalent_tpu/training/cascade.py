@@ -19,7 +19,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
-from scipy.ndimage import label as cc_label
+from multitalent_tpu.native import label_3d as _cc_label_3d
 
 from multitalent_tpu.data.loader import PatchSampler3D
 from multitalent_tpu.registry import TRAINERS
@@ -41,7 +41,7 @@ def remove_random_component(seg_patch: np.ndarray, rng: np.random.RandomState,
         mask = out == c
         if mask.mean() == 0 or mask.mean() > max_coverage:
             continue
-        lmap, n = cc_label(mask)
+        lmap, n = _cc_label_3d(mask)
         if n == 0:
             continue
         victim = rng.randint(1, n + 1)

@@ -240,3 +240,35 @@ def dc_and_bce_loss(logits, target_onehot, *, batch_dice=True, smooth=1e-5):
     dc = soft_dice_loss(logits, target_onehot, batch_dice=batch_dice, do_bg=True,
                         smooth=smooth, apply_nonlin=jax.nn.sigmoid)
     return bce + dc
+
+
+def mcc_loss(logits, labels, *, apply_nonlin=softmax_helper, smooth: float = 0.0):
+    """Matthews correlation coefficient loss (dice_loss.py:198): -MCC computed from
+    voxel-normalized soft confusion entries, averaged over classes."""
+    probs = apply_nonlin(logits) if apply_nonlin is not None else logits
+    voxels = np.prod(probs.shape[1:-1]) * probs.shape[0]
+    tp, fp, fn, tn = get_tp_fp_fn_tn(probs, labels, batch_dice=True)
+    tp, fp, fn, tn = tp / voxels, fp / voxels, fn / voxels, tn / voxels
+    nominator = tp * tn - fp * fn + smooth
+    denominator = jnp.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) + smooth
+    mcc = nominator / (denominator + 1e-8)
+    return -jnp.mean(mcc)
+
+
+def squared_dice_loss(logits, labels, *, batch_dice=False, do_bg=True, smooth=1.0,
+                      apply_nonlin=softmax_helper):
+    """SoftDiceLossSquared (dice_loss.py:245): denominator uses probs^2 + gt^2."""
+    probs = apply_nonlin(logits) if apply_nonlin is not None else logits
+    if labels.ndim == probs.ndim:
+        y = labels.astype(jnp.float32)
+    else:
+        y = one_hot_last(labels, probs.shape[-1])
+    axes = _spatial_axes(probs)
+    if batch_dice:
+        axes = (0,) + axes
+    intersect = jnp.sum(probs * y, axis=axes) + smooth
+    denom = jnp.sum(probs ** 2, axis=axes) + jnp.sum(y ** 2, axis=axes) + smooth
+    dc = 2 * intersect / denom
+    if not do_bg:
+        dc = dc[1:] if batch_dice else dc[:, 1:]
+    return -jnp.mean(dc)
