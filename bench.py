@@ -123,25 +123,11 @@ def pick_device():
             return jax.devices("cpu")[0], False
 
 
-def main() -> None:
-    import os
-    import sys
+def _measure(device, on_tpu: bool) -> dict:
     import jax
     import jax.numpy as jnp
-
-    try:
-        jax.devices()
-    except RuntimeError:
-        # accelerator backend unreachable (e.g. tunnel down): rerun on CPU
-        if os.environ.get("JAX_PLATFORMS") != "cpu":
-            os.environ["JAX_PLATFORMS"] = "cpu"
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-        raise
-
     from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
     from __graft_entry__ import _flagship_model
-
-    device, on_tpu = pick_device()
     # representative abdominal CT at MultiTalent target spacing (1.5, 1, 1)
     volume_shape = (256, 320, 320) if on_tpu else (96, 192, 192)
 
@@ -183,7 +169,13 @@ def main() -> None:
     elapsed = (time.time() - t0) / n_repeats
     assert out.shape == (47, *volume_shape)
 
-    volumes_per_min = 60.0 / elapsed
+    return {"volumes_per_min": 60.0 / elapsed, "volume_shape": volume_shape,
+            "patch": patch, "on_tpu": on_tpu}
+
+
+def report(res: dict) -> None:
+    volumes_per_min = res["volumes_per_min"]
+    volume_shape, patch, on_tpu = res["volume_shape"], res["patch"], res["on_tpu"]
     # scale the baseline to the volume/patch actually used so the ratio stays
     # meaningful on the CPU fallback path
     from multitalent_tpu.ops.sliding_window import compute_steps_for_sliding_window
@@ -204,7 +196,44 @@ def main() -> None:
         "unit": f"volumes/min (vol {volume_shape}, patch {patch}, 8x TTA, "
                 f"{'tpu' if on_tpu else 'cpu-fallback'})",
         "vs_baseline": round(volumes_per_min / baseline, 3),
-    }))
+    }), flush=True)
+
+
+def main() -> None:
+    import os
+    import sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        # accelerator backend unreachable (e.g. tunnel down): rerun on CPU
+        if os.environ.get("JAX_PLATFORMS") != "cpu":
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
+
+    device, on_tpu = pick_device()
+    budget_s = float(os.environ.get("MTTPU_BENCH_TIMEOUT", 1500))
+    if on_tpu:
+        # watchdogged: a remote/tunnelled accelerator can accept the probe but
+        # stall on large compiles; fall back to a CPU measurement in that case
+        # so the benchmark always reports
+        ex = ThreadPoolExecutor(1)
+        fut = ex.submit(_measure, device, True)
+        try:
+            res = fut.result(timeout=budget_s)
+            report(res)
+            os._exit(0)
+        except Exception as e:
+            print(f"# accelerator measurement failed/stalled ({type(e).__name__}); "
+                  "falling back to CPU", flush=True)
+            cpu = jax.devices("cpu")[0]
+            report(_measure(cpu, False))
+            os._exit(0)
+    report(_measure(device, False))
 
 
 if __name__ == "__main__":

@@ -292,3 +292,52 @@ class MultiTalentTrainerMedNeXt(MultiTalentTrainer):
             dtype=jnp.bfloat16 if self.fp16 else jnp.float32)
         self.inference_nonlin = "sigmoid"
         self.regions_class_order = list(range(self.num_classes))
+
+
+@TRAINERS.register(aliases=("MultiTalent_tainer_SwinUNETR_ddp_adam",
+                            "MultiTalent_trainer_SwinUNETR_ddp_adam"))
+class MultiTalentTrainerSwinUNETR(MultiTalentTrainer):
+    """MultiTalent over SwinUNETR (MultiTalent_meets_swinunetr.py:33-120):
+    feature_size 48, Adam 5e-4, NO deep supervision (do_ds=False)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.initial_lr = 5e-4
+        self.deep_supervision = False
+
+    def setup_DA_params(self) -> None:
+        super().setup_DA_params()
+        self.deep_supervision_scales = [[1.0, 1.0, 1.0]]
+
+    def initialize(self, training: bool = True, force_load_plans: bool = False) -> None:
+        super().initialize(training, force_load_plans)
+        self.ds_loss_weights = np.array([1.0])
+
+    def initialize_optimizer(self):
+        from multitalent_tpu.training.schedules import make_poly_schedule
+        from multitalent_tpu.training.train_state import make_adam_optimizer
+        schedule = make_poly_schedule(self.initial_lr, self.max_num_epochs,
+                                      self.num_batches_per_epoch)
+        return make_adam_optimizer(schedule, weight_decay=self.weight_decay)
+
+    def initialize_network(self) -> None:
+        from multitalent_tpu.models.swin_unetr import SwinUNETR
+        self.network = SwinUNETR(
+            in_channels=self.num_input_channels, out_channels=NUM_REGIONS,
+            feature_size=48,
+            dtype=jnp.bfloat16 if self.fp16 else jnp.float32)
+        self.inference_nonlin = "sigmoid"
+        self.regions_class_order = list(range(self.num_classes))
+
+    def _as_lists(self, outputs, targets):
+        outputs = [outputs] if not isinstance(outputs, (list, tuple)) else outputs
+        targets = [targets] if not isinstance(targets, (list, tuple)) else targets
+        return outputs, targets
+
+    def loss_fn(self, outputs, targets, extras):
+        outputs, targets = self._as_lists(outputs, targets)
+        return super().loss_fn(outputs, targets, extras)
+
+    def eval_stats(self, outputs, targets, extras):
+        outputs, targets = self._as_lists(outputs, targets)
+        return super().eval_stats(outputs, targets, extras)

@@ -399,13 +399,26 @@ class NetworkTrainerBase(ABC):
             self.initialize(True)
         self.save_debug_information()
 
+        # optional device-trace capture (the reference offers only wall-clock epoch
+        # timing; set MTTPU_PROFILE_DIR to profile a window of training steps with
+        # the XLA profiler, viewable in TensorBoard/xprof)
+        profile_dir = os.environ.get("MTTPU_PROFILE_DIR")
+        profile_window = (5, 15)
+
         while self.epoch < self.max_num_epochs:
             self.print_to_log_file("\nepoch: ", self.epoch)
             epoch_start_time = time.time()
             train_losses_epoch = []
 
-            for _ in range(self.num_batches_per_epoch):
+            for it in range(self.num_batches_per_epoch):
+                if profile_dir and self.epoch == 0 and it == profile_window[0]:
+                    import jax
+                    jax.profiler.start_trace(profile_dir)
                 l = self.run_iteration(self.tr_gen, True)
+                if profile_dir and self.epoch == 0 and it == profile_window[1]:
+                    import jax
+                    jax.profiler.stop_trace()
+                    self.print_to_log_file(f"profiler trace written to {profile_dir}")
                 train_losses_epoch.append(l)
 
             self.all_tr_losses.append(float(np.mean(train_losses_epoch)))

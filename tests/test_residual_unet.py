@@ -102,3 +102,17 @@ def test_mednext_shapes_and_grads():
     assert all(np.isfinite(l).all() for l in jax.tree.leaves(g))
     single = net.apply(params, x, deep_supervision=False)
     np.testing.assert_array_equal(np.asarray(single), np.asarray(outs[0]))
+
+
+def test_swin_unetr_shapes_and_grads():
+    """SwinUNETR: shifted-window attention encoder + UNETR decoder."""
+    from multitalent_tpu.models.swin_unetr import SwinUNETR
+    net = SwinUNETR(in_channels=1, out_channels=3, feature_size=6,
+                    depths=(1, 1, 1, 1), num_heads=(1, 2, 3, 6), window_size=4,
+                    dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 32, 1))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (1, 32, 32, 32, 3)
+    g = jax.grad(lambda p: jnp.mean(net.apply(p, x) ** 2))(params)
+    assert all(np.isfinite(l).all() for l in jax.tree.leaves(g))
