@@ -165,7 +165,9 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
     valid_list = [np.ascontiguousarray(valid[j]) for j in range(n_chunks)]
     one = np.float32(1.0)
 
-    def run(params, padded_volume, coords_host: np.ndarray):
+    def run(params, padded_volume, coords_host: np.ndarray, devices=None):
+        if devices is not None and len(devices) > 1:
+            return _run_sharded(params, padded_volume, coords_host, devices)
         out_shape = padded_volume.shape[:-1] + (num_classes,)
         acc = jnp.zeros(out_shape, jnp.float32)
         cnt = jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float32)
@@ -174,6 +176,33 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             for j in range(n_chunks):
                 acc, cnt = step(acc, cnt, params, padded_volume, coord,
                                 bits_list[j], valid_list[j], one)
+        return finalize(acc, cnt)
+
+    def _run_sharded(params, padded_volume, coords_host, devices):
+        """Multi-chip tile sharding: tiles round-robin over devices, each device
+        keeps its own volume copy + accumulators (every step is independent), the
+        partial accumulators sum on device 0 at the end. Near-linear scaling —
+        no collectives, no cross-device sync until the final reduction."""
+        out_shape = padded_volume.shape[:-1] + (num_classes,)
+        vols, params_d, accs, cnts = [], [], [], []
+        for dev in devices:
+            vols.append(jax.device_put(padded_volume, dev))
+            params_d.append(jax.device_put(params, dev))
+            accs.append(jax.device_put(jnp.zeros(out_shape, jnp.float32), dev))
+            cnts.append(jax.device_put(
+                jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float32), dev))
+        n_dev = len(devices)
+        for i in range(coords_host.shape[0]):
+            d = i % n_dev
+            coord = np.ascontiguousarray(coords_host[i])
+            for j in range(n_chunks):
+                accs[d], cnts[d] = step(accs[d], cnts[d], params_d[d], vols[d],
+                                        coord, bits_list[j], valid_list[j], one)
+        acc = accs[0]
+        cnt = cnts[0]
+        for d in range(1, n_dev):
+            acc = acc + jax.device_put(accs[d], devices[0])
+            cnt = cnt + jax.device_put(cnts[d], devices[0])
         return finalize(acc, cnt)
 
     return run
@@ -201,8 +230,10 @@ class SlidingWindowPredictor:
     def __init__(self, apply_fn, patch_size, in_channels: int, num_classes: int,
                  nonlin: str = "softmax", step_size: float = 0.5,
                  do_mirroring: bool = True, mirror_axes: tuple[int, ...] = (0, 1, 2),
-                 use_gaussian: bool = True, tta_chunk: int = 2, device=None):
-        self.device = device  # optional jax.Device pin (default: backend default)
+                 use_gaussian: bool = True, tta_chunk: int = 2, device=None,
+                 devices=None):
+        self.device = device   # optional jax.Device pin (default: backend default)
+        self.devices = devices  # optional device list: tiles shard round-robin
         self.apply_fn = _HashableFn(apply_fn)
         self.patch_size = tuple(int(p) for p in patch_size)
         self.in_channels = in_channels
@@ -228,7 +259,8 @@ class SlidingWindowPredictor:
         runner = _make_tiled_runner(
             self.apply_fn, self.patch_size, self.in_channels, self.num_classes,
             self.mirror_axes, self.use_gaussian, self.nonlin, self.tta_chunk)
-        probs = runner(params, jax.device_put(padded, self.device), coords)
+        probs = runner(params, jax.device_put(padded, self.device), coords,
+                       devices=self.devices)
         probs = np.asarray(probs)[tuple(slicer) + (slice(None),)]
         return np.moveaxis(probs, -1, 0)
 

@@ -160,3 +160,25 @@ def test_tiled_predictor_with_real_unet():
     out = pred(params, vol)
     assert out.shape == (3, 12, 10, 9)
     np.testing.assert_allclose(np.asarray(out).sum(0), 1.0, atol=1e-4)
+
+
+def test_tiled_predictor_multi_device_sharding():
+    """Tiles sharded round-robin over devices must reproduce the single-device
+    result exactly."""
+    import jax
+    import jax.numpy as jnp
+    devices = jax.devices()
+    if len(devices) < 2:
+        pytest.skip("needs multiple devices")
+    w = jnp.asarray(np.random.RandomState(1).randn(2, 3).astype(np.float32))
+
+    def apply_fn(params, batch):
+        return batch @ params
+
+    base = dict(patch_size=(8, 8, 8), in_channels=2, num_classes=3,
+                nonlin="softmax", step_size=0.5, do_mirroring=False,
+                use_gaussian=True)
+    vol = np.random.RandomState(2).randn(2, 16, 16, 12).astype(np.float32)
+    single = SlidingWindowPredictor(apply_fn, **base)(w, vol)
+    multi = SlidingWindowPredictor(apply_fn, devices=devices[:4], **base)(w, vol)
+    np.testing.assert_allclose(multi, single, atol=1e-6)
