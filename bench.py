@@ -129,7 +129,7 @@ def _measure(device, on_tpu: bool) -> dict:
     from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
     from __graft_entry__ import _flagship_model
     # representative abdominal CT at MultiTalent target spacing (1.5, 1, 1)
-    volume_shape = (256, 320, 320) if on_tpu else (96, 192, 192)
+    volume_shape = (256, 320, 320) if on_tpu else (48, 96, 96)
 
     if on_tpu:
         model = _flagship_model()
