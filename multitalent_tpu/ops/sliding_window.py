@@ -138,9 +138,15 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             probs = jax.nn.sigmoid(logits)
         else:
             probs = logits
-        unflipped = jax.vmap(flip_sel)(probs, bits)
-        v = vmask.reshape((vmask.shape[0],) + (1,) * (unflipped.ndim - 1))
-        mean_scaled = jnp.sum(unflipped * v, axis=0) / len(combos)
+        # probabilities held in bf16, statistics accumulated in fp32: halves the
+        # live prob buffers so a larger TTA batch fits (conv throughput scales
+        # strongly with batch on TPU); the reference's all_in_gpu mode makes the
+        # same precision trade with fp16 (neural_network.py:338-364)
+        unflipped = jax.vmap(flip_sel)(probs.astype(jnp.bfloat16), bits)
+        v = vmask.astype(jnp.bfloat16).reshape(
+            (vmask.shape[0],) + (1,) * (unflipped.ndim - 1))
+        mean_scaled = jnp.sum(unflipped * v, axis=0,
+                              dtype=jnp.float32) / len(combos)
 
         contrib = mean_scaled * gauss * weight
         cur = jax.lax.dynamic_slice(acc, (z, y, x, 0), (*patch, num_classes))
@@ -230,7 +236,7 @@ class SlidingWindowPredictor:
     def __init__(self, apply_fn, patch_size, in_channels: int, num_classes: int,
                  nonlin: str = "softmax", step_size: float = 0.5,
                  do_mirroring: bool = True, mirror_axes: tuple[int, ...] = (0, 1, 2),
-                 use_gaussian: bool = True, tta_chunk: int = 2, device=None,
+                 use_gaussian: bool = True, tta_chunk: int = 4, device=None,
                  devices=None):
         self.device = device   # optional jax.Device pin (default: backend default)
         self.devices = devices  # optional device list: tiles shard round-robin

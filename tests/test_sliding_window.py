@@ -102,9 +102,10 @@ def test_tiled_predictor_matches_dense_linear_model():
     dense = jax.nn.softmax(
         jnp.moveaxis(jnp.asarray(vol), 0, -1) @ w, axis=-1)
     dense = np.moveaxis(np.asarray(dense), -1, 0)
-    np.testing.assert_allclose(out, dense, atol=1e-5)
+    # probabilities are carried in bf16 inside the engine (fp32 accumulation)
+    np.testing.assert_allclose(out, dense, atol=5e-3)
     # probabilities sum to one everywhere
-    np.testing.assert_allclose(out.sum(0), 1.0, atol=1e-5)
+    np.testing.assert_allclose(out.sum(0), 1.0, atol=5e-3)
 
 
 def test_tiled_predictor_mirror_tta_symmetric_model():
@@ -120,7 +121,7 @@ def test_tiled_predictor_mirror_tta_symmetric_model():
     vol = np.random.RandomState(3).randn(1, 10, 10, 10).astype(np.float32)
     with_tta = SlidingWindowPredictor(apply_fn, do_mirroring=True, **base)(w, vol)
     without = SlidingWindowPredictor(apply_fn, do_mirroring=False, **base)(w, vol)
-    np.testing.assert_allclose(with_tta, without, atol=1e-5)
+    np.testing.assert_allclose(with_tta, without, atol=5e-3)
 
 
 def test_segmentation_from_probabilities():
@@ -159,7 +160,7 @@ def test_tiled_predictor_with_real_unet():
     vol = np.random.RandomState(0).randn(1, 12, 10, 9).astype(np.float32)
     out = pred(params, vol)
     assert out.shape == (3, 12, 10, 9)
-    np.testing.assert_allclose(np.asarray(out).sum(0), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out).sum(0), 1.0, atol=5e-3)
 
 
 def test_tiled_predictor_multi_device_sharding():
@@ -181,4 +182,4 @@ def test_tiled_predictor_multi_device_sharding():
     vol = np.random.RandomState(2).randn(2, 16, 16, 12).astype(np.float32)
     single = SlidingWindowPredictor(apply_fn, **base)(w, vol)
     multi = SlidingWindowPredictor(apply_fn, devices=devices[:4], **base)(w, vol)
-    np.testing.assert_allclose(multi, single, atol=1e-6)
+    np.testing.assert_allclose(multi, single, atol=1e-6)  # same math, same dtype
