@@ -161,8 +161,10 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
     def finalize(acc, cnt):
         # guard only voxels never touched by any tile (cannot occur for a valid
         # step grid); tiny gaussian-tail weights must divide exactly (parity with
-        # aggregated_results / aggregated_nb_of_predictions, neural_network.py:399)
-        return acc / jnp.where(cnt == 0, 1.0, cnt)
+        # aggregated_results / aggregated_nb_of_predictions, neural_network.py:399).
+        # fp16 result: halves the device->host transfer; the reference itself
+        # stores exported softmax as fp16 (segmentation_export.py:116)
+        return (acc / jnp.where(cnt == 0, 1.0, cnt)).astype(jnp.float16)
 
     # per-chunk flip masks as host arrays: avoids eager device indexing ops (each
     # distinct eager op is its own compiled executable — expensive on remote-
@@ -262,12 +264,24 @@ class SlidingWindowPredictor:
         vol = np.moveaxis(np.ascontiguousarray(volume_czyx, np.float32), 0, -1)
         padded, slicer = pad_to_patch(vol, self.patch_size)
         coords = self.tile_coords(padded.shape[:-1])
-        runner = _make_tiled_runner(
-            self.apply_fn, self.patch_size, self.in_channels, self.num_classes,
-            self.mirror_axes, self.use_gaussian, self.nonlin, self.tta_chunk)
-        probs = runner(params, jax.device_put(padded, self.device), coords,
-                       devices=self.devices)
-        probs = np.asarray(probs)[tuple(slicer) + (slice(None),)]
+        vol_dev = jax.device_put(padded, self.device)
+        chunk = self.tta_chunk
+        while True:
+            runner = _make_tiled_runner(
+                self.apply_fn, self.patch_size, self.in_channels,
+                self.num_classes, self.mirror_axes, self.use_gaussian,
+                self.nonlin, chunk)
+            try:
+                probs = runner(params, vol_dev, coords, devices=self.devices)
+                break
+            except Exception:
+                # typically HBM exhaustion at large volumes: halve the TTA batch
+                if chunk <= 1:
+                    raise
+                chunk //= 2
+                print(f"# sliding window: retrying with tta_chunk={chunk}",
+                      flush=True)
+        probs = np.asarray(probs).astype(np.float32)[tuple(slicer) + (slice(None),)]
         return np.moveaxis(probs, -1, 0)
 
 
