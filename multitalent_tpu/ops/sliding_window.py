@@ -273,6 +273,7 @@ class SlidingWindowPredictor:
                 self.nonlin, chunk)
             try:
                 probs = runner(params, vol_dev, coords, devices=self.devices)
+                self.tta_chunk = chunk  # persist: don't re-attempt the OOM size
                 break
             except Exception:
                 # typically HBM exhaustion at large volumes: halve the TTA batch
