@@ -252,6 +252,30 @@ class SlidingWindowPredictor:
         self.use_gaussian = use_gaussian
         self.tta_chunk = tta_chunk
 
+    def _chunk_fitting_memory(self, padded_shape) -> int:
+        """Largest TTA chunk whose accumulators + working set fit the device HBM
+        (estimate; the runtime back-off below remains as the safety net)."""
+        import jax
+        dev = self.device or jax.devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        hbm = (stats or {}).get("bytes_limit", 16 * 2 ** 30)
+        budget = 0.8 * hbm
+        vol_vox = float(np.prod(padded_shape))
+        patch_vox = float(np.prod(self.patch_size))
+        fixed = vol_vox * (self.num_classes * 4 + 4 + self.in_channels * 4)
+        chunk = max(1, min(self.tta_chunk, 8))
+        while chunk > 1:
+            # per-chunk working set: one fp32 logits buffer, bf16 prob buffers
+            # (flip + unflip), and an allowance of ~6 live bf16 feature maps at
+            # encoder width (calibrated against observed HBM exhaustion at
+            # chunk 4 / (256,320,320) x 47 on a 16G chip)
+            work = chunk * patch_vox * (self.num_classes * 4
+                                        + self.num_classes * 2 * 2 + 360)
+            if fixed + work <= budget:
+                break
+            chunk //= 2
+        return chunk
+
     def tile_coords(self, image_shape) -> np.ndarray:
         steps = compute_steps_for_sliding_window(self.patch_size, image_shape,
                                                  self.step_size)
@@ -265,7 +289,7 @@ class SlidingWindowPredictor:
         padded, slicer = pad_to_patch(vol, self.patch_size)
         coords = self.tile_coords(padded.shape[:-1])
         vol_dev = jax.device_put(padded, self.device)
-        chunk = self.tta_chunk
+        chunk = min(self.tta_chunk, self._chunk_fitting_memory(padded.shape[:-1]))
         while True:
             runner = _make_tiled_runner(
                 self.apply_fn, self.patch_size, self.in_channels,
