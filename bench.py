@@ -159,15 +159,22 @@ def _measure(device, on_tpu: bool) -> dict:
 
     vol = np.random.RandomState(0).randn(1, *volume_shape).astype(np.float32)
 
-    # warmup: compile + one full pass
-    predictor(params, vol)
+    # warmup: compile + one full pass (incl. host fetch)
+    out = predictor(params, vol)
+    assert out.shape == (47, *volume_shape)
 
+    # pipelined throughput, as predict_cases runs in production: volume i's
+    # device->host fetch overlaps volume i+1's compute
     n_repeats = 3 if on_tpu else 1
     t0 = time.time()
+    pending = None
     for _ in range(n_repeats):
-        out = predictor(params, vol)
+        probs_dev, slicer = predictor.predict_to_device(params, vol)
+        if pending is not None:
+            predictor.fetch(*pending)
+        pending = (probs_dev, slicer)
+    predictor.fetch(*pending)
     elapsed = (time.time() - t0) / n_repeats
-    assert out.shape == (47, *volume_shape)
 
     return {"volumes_per_min": 60.0 / elapsed, "volume_shape": volume_shape,
             "patch": patch, "on_tpu": on_tpu}

@@ -95,16 +95,27 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
     preprocess_pool = ThreadPoolExecutor(max_workers=num_threads_preprocessing)
     preprocessed = preprocess_pool.map(preprocess, list_of_lists)
 
-    futures = []
-    for out_fname, (data, properties) in zip(output_filenames, preprocessed):
-        probs_sum = None
-        for params in all_fold_params:
-            _, probs = trainer.predict_preprocessed_data_return_seg_and_softmax(
-                data, do_mirroring=do_tta, step_size=step_size, params=params)
-            probs = np.asarray(probs)
-            probs_sum = probs if probs_sum is None else probs_sum + probs
-        probs_mean = probs_sum / len(all_fold_params)
+    predictor = trainer.get_sliding_window_predictor(do_mirroring=do_tta,
+                                                     step_size=step_size)
 
+    def run_case(data):
+        """Fold-ensemble prediction summed ON DEVICE; host fetch deferred so the
+        transfer of one case overlaps the next case's compute."""
+        probs_sum, slicer = None, None
+        for params in all_fold_params:
+            probs_dev, slicer = predictor.predict_to_device(params, data)
+            probs_sum = probs_dev if probs_sum is None else probs_sum + probs_dev
+        return probs_sum, slicer
+
+    futures = []
+    pending = None  # (out_fname, probs_dev, slicer, properties)
+
+    def flush(pending):
+        out_fname, probs_dev, slicer, properties = pending
+        probs_mean = predictor.fetch(probs_dev, slicer) / len(all_fold_params)
+        _export(out_fname, probs_mean, properties)
+
+    def _export(out_fname, probs_mean, properties):
         npz_fname = out_fname[:-7] + ".npz" if save_npz else None
         maybe_mkdir(os.path.dirname(out_fname) or ".")
         futures.append(export_pool.submit(
@@ -122,6 +133,15 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
                     save_segmentation_nifti_from_softmax, probs_mean[ch][None],
                     os.path.join(rdir, case_id + ".nii.gz"), dict(properties),
                     1, ((1,),)))
+
+    for out_fname, (data, properties) in zip(output_filenames, preprocessed):
+        probs_dev, slicer = run_case(data)
+        if pending is not None:
+            flush(pending)  # overlaps with the dispatched compute above
+        pending = (out_fname, probs_dev, slicer, properties)
+    if pending is not None:
+        flush(pending)
+
     for f in futures:
         f.result()
     export_pool.shutdown()

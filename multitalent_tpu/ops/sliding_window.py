@@ -284,6 +284,19 @@ class SlidingWindowPredictor:
 
     def __call__(self, params, volume_czyx: np.ndarray) -> np.ndarray:
         """volume (C, Z, Y, X) float32 -> class/region probabilities (K, Z, Y, X)."""
+        probs_dev, slicer = self.predict_to_device(params, volume_czyx)
+        return self.fetch(probs_dev, slicer)
+
+    def fetch(self, probs_dev, slicer) -> np.ndarray:
+        """Materialize a predict_to_device result on host as (K, Z, Y, X) fp32."""
+        probs = np.asarray(probs_dev).astype(np.float32)[tuple(slicer)
+                                                         + (slice(None),)]
+        return np.moveaxis(probs, -1, 0)
+
+    def predict_to_device(self, params, volume_czyx: np.ndarray):
+        """Run the tiled prediction, returning (device fp16 probs ZYXK, slicer)
+        WITHOUT the device->host transfer — callers can overlap the fetch of one
+        volume with the compute of the next (predict_cases does)."""
         import jax
         vol = np.moveaxis(np.ascontiguousarray(volume_czyx, np.float32), 0, -1)
         padded, slicer = pad_to_patch(vol, self.patch_size)
@@ -306,8 +319,7 @@ class SlidingWindowPredictor:
                 chunk //= 2
                 print(f"# sliding window: retrying with tta_chunk={chunk}",
                       flush=True)
-        probs = np.asarray(probs).astype(np.float32)[tuple(slicer) + (slice(None),)]
-        return np.moveaxis(probs, -1, 0)
+        return probs, slicer
 
 
 def segmentation_from_probabilities(probs_kzyx: np.ndarray,
