@@ -103,7 +103,12 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
     patch = tuple(int(p) for p in patch_size)
     combos = mirror_combinations(mirror_axes)
     if use_gaussian:
-        gauss = jnp.asarray(get_gaussian_importance_map(patch))[..., None]
+        # tail weights clamped to 1e-4: the raw map's corner values (~1e-11 for
+        # large patches) underflow the fp16 accumulators; relative to the 1.0
+        # center weight both are zero for blending purposes (the reference's own
+        # fp16 all_in_gpu mode simply breaks at such voxels)
+        gauss = jnp.maximum(
+            jnp.asarray(get_gaussian_importance_map(patch)), 1e-4)[..., None]
     else:
         gauss = jnp.ones(patch, jnp.float32)[..., None]
     chunk = max(1, min(int(tta_chunk), len(combos)))
@@ -148,13 +153,17 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         mean_scaled = jnp.sum(unflipped * v, axis=0,
                               dtype=jnp.float32) / len(combos)
 
+        # accumulators are stored fp16 (the reference's all_in_gpu mode does the
+        # same, neural_network.py:338-364); the add itself runs in fp32
         contrib = mean_scaled * gauss * weight
         cur = jax.lax.dynamic_slice(acc, (z, y, x, 0), (*patch, num_classes))
-        acc = jax.lax.dynamic_update_slice(acc, cur + contrib, (z, y, x, 0))
-        cur_c = jax.lax.dynamic_slice(cnt, (z, y, x, 0), (*patch, 1))
-        cnt = jax.lax.dynamic_update_slice(
-            cnt, cur_c + gauss * (weight / len(combos)) * jnp.sum(v),
+        acc = jax.lax.dynamic_update_slice(
+            acc, (cur.astype(jnp.float32) + contrib).astype(acc.dtype),
             (z, y, x, 0))
+        cur_c = jax.lax.dynamic_slice(cnt, (z, y, x, 0), (*patch, 1))
+        new_c = cur_c.astype(jnp.float32) + gauss * (weight / len(combos)) * jnp.sum(v)
+        cnt = jax.lax.dynamic_update_slice(cnt, new_c.astype(cnt.dtype),
+                                           (z, y, x, 0))
         return acc, cnt
 
     @jax.jit
@@ -164,7 +173,9 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         # aggregated_results / aggregated_nb_of_predictions, neural_network.py:399).
         # fp16 result: halves the device->host transfer; the reference itself
         # stores exported softmax as fp16 (segmentation_export.py:116)
-        return (acc / jnp.where(cnt == 0, 1.0, cnt)).astype(jnp.float16)
+        a = acc.astype(jnp.float32)
+        c = cnt.astype(jnp.float32)
+        return (a / jnp.where(c == 0, 1.0, c)).astype(jnp.float16)
 
     # per-chunk flip masks as host arrays: avoids eager device indexing ops (each
     # distinct eager op is its own compiled executable — expensive on remote-
@@ -177,8 +188,8 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         if devices is not None and len(devices) > 1:
             return _run_sharded(params, padded_volume, coords_host, devices)
         out_shape = padded_volume.shape[:-1] + (num_classes,)
-        acc = jnp.zeros(out_shape, jnp.float32)
-        cnt = jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float32)
+        acc = jnp.zeros(out_shape, jnp.float16)
+        cnt = jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float16)
         for i in range(coords_host.shape[0]):
             coord = np.ascontiguousarray(coords_host[i])
             for j in range(n_chunks):
@@ -196,9 +207,9 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         for dev in devices:
             vols.append(jax.device_put(padded_volume, dev))
             params_d.append(jax.device_put(params, dev))
-            accs.append(jax.device_put(jnp.zeros(out_shape, jnp.float32), dev))
+            accs.append(jax.device_put(jnp.zeros(out_shape, jnp.float16), dev))
             cnts.append(jax.device_put(
-                jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float32), dev))
+                jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float16), dev))
         n_dev = len(devices)
         for i in range(coords_host.shape[0]):
             d = i % n_dev
@@ -206,12 +217,12 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             for j in range(n_chunks):
                 accs[d], cnts[d] = step(accs[d], cnts[d], params_d[d], vols[d],
                                         coord, bits_list[j], valid_list[j], one)
-        acc = accs[0]
-        cnt = cnts[0]
+        acc = accs[0].astype(jnp.float32)
+        cnt = cnts[0].astype(jnp.float32)
         for d in range(1, n_dev):
-            acc = acc + jax.device_put(accs[d], devices[0])
-            cnt = cnt + jax.device_put(cnts[d], devices[0])
-        return finalize(acc, cnt)
+            acc = acc + jax.device_put(accs[d], devices[0]).astype(jnp.float32)
+            cnt = cnt + jax.device_put(cnts[d], devices[0]).astype(jnp.float32)
+        return finalize(acc.astype(jnp.float16), cnt.astype(jnp.float16))
 
     return run
 
@@ -262,7 +273,7 @@ class SlidingWindowPredictor:
         budget = 0.8 * hbm
         vol_vox = float(np.prod(padded_shape))
         patch_vox = float(np.prod(self.patch_size))
-        fixed = vol_vox * (self.num_classes * 4 + 4 + self.in_channels * 4)
+        fixed = vol_vox * (self.num_classes * 2 + 2 + self.in_channels * 4)
         chunk = max(1, min(self.tta_chunk, 8))
         while chunk > 1:
             # per-chunk working set: one fp32 logits buffer, bf16 prob buffers
