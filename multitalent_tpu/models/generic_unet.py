@@ -50,6 +50,11 @@ class GenericUNet(nn.Module):
     negative_slope: float = 1e-2
     dropout_rate: float = 0.0
     dtype: Any = jnp.bfloat16
+    # architectural-variant knobs (nnUNet_variants/architectural_variants):
+    # norm in {instance,batch,group,frn,none}; nonlin in {leaky_relu,relu,gelu,mish}
+    norm: str = "instance"
+    nonlin: str = "leaky_relu"
+    seg_output_bias: bool = False  # _biasInSegOutput variants
 
     @property
     def num_pool(self) -> int:
@@ -78,6 +83,8 @@ class GenericUNet(nn.Module):
                 negative_slope=self.negative_slope,
                 dropout_rate=self.dropout_rate,
                 dtype=self.dtype,
+                norm=self.norm,
+                nonlin=self.nonlin,
                 name=f"enc{d}",
             )(x, deterministic=deterministic)
             skips.append(x)
@@ -91,6 +98,8 @@ class GenericUNet(nn.Module):
             negative_slope=self.negative_slope,
             dropout_rate=self.dropout_rate,
             dtype=self.dtype,
+            norm=self.norm,
+            nonlin=self.nonlin,
             name="bottleneck",
         )(x, deterministic=deterministic)
 
@@ -119,12 +128,14 @@ class GenericUNet(nn.Module):
                 negative_slope=self.negative_slope,
                 dropout_rate=0.0,  # reference never uses dropout in the decoder
                 dtype=self.dtype,
+                norm=self.norm,
+                nonlin=self.nonlin,
                 name=f"dec{u}",
             )(x, deterministic=deterministic)
             logits = nn.Conv(
                 self.num_classes,
                 kernel_size=(1,) * len(stride),
-                use_bias=False,
+                use_bias=self.seg_output_bias,
                 kernel_init=he_init(self.negative_slope),
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
@@ -138,11 +149,15 @@ class GenericUNet(nn.Module):
 
 
 def build_unet_from_plans(plans, stage: int, deep_supervision: bool = True,
-                          dtype=jnp.bfloat16, num_classes: int | None = None) -> GenericUNet:
+                          dtype=jnp.bfloat16, num_classes: int | None = None,
+                          **overrides) -> GenericUNet:
     """Instantiate GenericUNet from a Plans object for the given resolution stage
-    (the wiring nnUNetTrainerV2.initialize_network derives from process_plans)."""
+    (the wiring nnUNetTrainerV2.initialize_network derives from process_plans).
+    `overrides` lets variant trainers swap norm/nonlin/conv_per_stage/... the way the
+    reference's architectural-variant trainers re-call the Generic_UNet constructor
+    (e.g. nnUNetTrainerV2_GN.py:24-52, nnUNetTrainerV2_3ConvPerStage.py:22-46)."""
     st = plans.stage(stage)
-    return GenericUNet(
+    kwargs = dict(
         input_channels=plans.num_modalities,
         base_num_features=plans.base_num_features,
         num_classes=num_classes if num_classes is not None else plans.num_classes + 1,
@@ -153,3 +168,5 @@ def build_unet_from_plans(plans, stage: int, deep_supervision: bool = True,
         deep_supervision=deep_supervision,
         dtype=dtype,
     )
+    kwargs.update(overrides)
+    return GenericUNet(**kwargs)

@@ -272,3 +272,40 @@ def squared_dice_loss(logits, labels, *, batch_dice=False, do_bg=True, smooth=1.
     if not do_bg:
         dc = dc[1:] if batch_dice else dc[:, 1:]
     return -jnp.mean(dc)
+
+
+def dynamic_task_prioritization_loss(logits, labels, running_dice, *,
+                                     gamma: float = 2.0, smooth: float = 1.0,
+                                     momentum: float = 0.97, update_kpi: bool = True,
+                                     weight_ce: float = 1.0, weight_dice: float = 1.0):
+    """Dynamic task prioritization DC+CE (dice_loss.py:303 Dynamic...SoftDiceLoss and
+    :347 DynamicTaskPrioritizationLoss), functional: per-class dice terms are weighted
+    by (1 - running_dice)^gamma so poorly-performing classes dominate the gradient.
+
+    The reference keeps `running_organwise_dice` as mutable module state updated with
+    EMA momentum 0.97 under no_grad; here the running KPI is threaded explicitly —
+    returns (loss, new_running_dice) so the train step stays a pure function.
+    `running_dice` has shape (num_classes - 1,) (foreground classes).
+    """
+    probs = softmax_helper(logits)
+    num_fg = probs.shape[-1] - 1
+    tp, fp, fn, _ = get_tp_fp_fn_tn(probs, labels, batch_dice=False)
+    tp, fp, fn = tp[:, 1:], fp[:, 1:], fn[:, 1:]
+    present = (tp + fp + fn) > 50  # the reference's per-sample class-present mask
+
+    dc = (2 * tp + smooth) / (2 * tp + fp + fn + smooth + 1e-8)
+
+    # KPI update (stop-gradient, like the reference's no_grad block)
+    mean_dc = jnp.sum(jax.lax.stop_gradient(dc) * present, axis=0) / (
+        jnp.sum(present, axis=0) + 1e-6)
+    any_in_batch = jnp.any(present, axis=0)
+    new_running = jnp.where(
+        any_in_batch & jnp.asarray(update_kpi),
+        running_dice * momentum + (1 - momentum) * mean_dc,
+        running_dice)
+
+    weights = (1 - jax.lax.stop_gradient(new_running)) ** gamma
+    weights = weights * (num_fg / (jnp.sum(weights) + 1e-8))
+    dice_term = -jnp.mean(weights * dc)
+    ce = robust_cross_entropy(logits, labels)
+    return weight_ce * ce + weight_dice * dice_term, new_running

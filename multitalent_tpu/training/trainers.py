@@ -210,12 +210,18 @@ class TrainerV2(NetworkTrainerBase):
         return tr_factory, val_factory
 
     # ------------------------------------------------------------------ network
+    def network_overrides(self) -> dict:
+        """GenericUNet constructor overrides for architectural-variant subclasses
+        (the reference's variants re-call the Generic_UNet constructor with swapped
+        norm_op/nonlin/conv_per_stage, e.g. nnUNetTrainerV2_GN.py:24-52)."""
+        return {}
+
     def initialize_network(self) -> None:
         from multitalent_tpu.models.generic_unet import build_unet_from_plans
         self.network = build_unet_from_plans(
             self.plans, self.stage, deep_supervision=self.deep_supervision,
             dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
-            num_classes=self.num_classes)
+            num_classes=self.num_classes, **self.network_overrides())
 
     def initialize_optimizer(self):
         schedule = make_poly_schedule(self.initial_lr, self.max_num_epochs,
@@ -466,7 +472,14 @@ class TrainerV2(NetworkTrainerBase):
             run_postprocessing_on_folds=run_postprocessing_on_folds)
 
 
-@TRAINERS.register(aliases=("nnUNetTrainerV2_ResencUNet",))
+@TRAINERS.register(aliases=("nnUNetTrainerV2_ResencUNet",
+                            # SimonsInit = last-norm-of-each-residual-block scale
+                            # initialized to 0 (nnUNetTrainerV2_ResencUNet_SimonsInit
+                            # .py:26-35) — that init IS our BasicResidualBlock default
+                            # (residual_unet.py norm2 zero scale), so the SimonsInit
+                            # names resolve to the same trainer.
+                            "nnUNetTrainerV2_ResencUNet_SimonsInit",
+                            "nnUNetTrainerV2_ResencUNet_SimonsInit_20fold"))
 class TrainerV2ResencUNet(TrainerV2):
     """Residual-encoder (FabiansUNet) trainer
     (nnUNet_variants/architectural_variants/nnUNetTrainerV2_ResencUNet.py parity):

@@ -2,10 +2,10 @@
 
 Parity target: the nnUNet_variants tree (~70 subclasses,
 nnunet/training/network_training/nnUNet_variants/). Behavior variants are trainer
-subclasses, exactly like the reference — the class IS the config. This module
-covers the variants that change training math; purely-architectural norm/nonlin
-swaps (BN/GN/FRN/GeLU/Mish) are represented by `TrainerV2_ReLU`-style subclasses
-only where the flax blocks support the swap.
+subclasses, exactly like the reference — the class IS the config. Covers loss,
+optimizer, augmentation, supervision and architectural (BN/GN/FRN/none norm,
+ReLU/GeLU/Mish/LeakyReLU-slope nonlins, 3ConvPerStage, allConv3x3, seg-head bias)
+ablations via TrainerV2.network_overrides.
 """
 from __future__ import annotations
 
@@ -216,6 +216,135 @@ class TrainerV2NoDeepSupervision(TrainerV2):
         outputs = [outputs] if not isinstance(outputs, (list, tuple)) else outputs
         targets = [targets] if not isinstance(targets, (list, tuple)) else targets
         return super().eval_stats(outputs, targets, extras)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_ResencUNet_DA3",))
+class TrainerV2ResencUNetDA3(TrainerV2DA5):
+    """Residual-encoder network under the DA3 augmentation preset
+    (architectural_variants/nnUNetTrainerV2_ResencUNet_DA3.py:27)."""
+
+    def setup_DA_params(self) -> None:
+        from multitalent_tpu.augment.pipeline import ds_scales_from_pools
+        super().setup_DA_params()
+        self.deep_supervision_scales = ds_scales_from_pools(
+            self.net_num_pool_op_kernel_sizes[1:])
+
+    def initialize_network(self) -> None:
+        from multitalent_tpu.models.residual_unet import build_resenc_unet_from_plans
+        self.network = build_resenc_unet_from_plans(
+            self.plans, self.stage, deep_supervision=self.deep_supervision,
+            dtype=jnp.bfloat16 if self.fp16 else jnp.float32,
+            num_classes=self.num_classes)
+
+
+# ------------------------------------------------------- architectural variants
+# (nnUNet_variants/architectural_variants/ — norm/nonlin/conv-count swaps expressed
+# through TrainerV2.network_overrides instead of re-calling the constructor)
+@TRAINERS.register(aliases=("nnUNetTrainerV2_BN",))
+class TrainerV2BN(TrainerV2):
+    """BatchNorm instead of InstanceNorm (nnUNetTrainerV2_BN.py:22)."""
+
+    def network_overrides(self) -> dict:
+        return {"norm": "batch"}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_GN",))
+class TrainerV2GN(TrainerV2):
+    """GroupNorm(8 groups) (nnUNetTrainerV2_GN.py:23,39)."""
+
+    def network_overrides(self) -> dict:
+        return {"norm": "group"}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_FRN",))
+class TrainerV2FRN(TrainerV2):
+    """Filter-response norm + TLU, which subsumes the nonlinearity
+    (nnUNetTrainerV2_FRN.py:26; feature_response_normalization.py:23)."""
+
+    def network_overrides(self) -> dict:
+        return {"norm": "frn"}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_NoNormalization",))
+class TrainerV2NoNorm(TrainerV2):
+    """conv->nonlin with no norm (nnUNetTrainerV2_NoNormalization.py:23)."""
+
+    def network_overrides(self) -> dict:
+        return {"norm": "none"}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_NoNormalization_lr1en3",))
+class TrainerV2NoNormLR1en3(TrainerV2NoNorm):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.initial_lr = 1e-3
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_ReLU",))
+class TrainerV2ReLU(TrainerV2):
+    def network_overrides(self) -> dict:
+        return {"nonlin": "relu"}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_GeLU",))
+class TrainerV2GeLU(TrainerV2):
+    def network_overrides(self) -> dict:
+        return {"nonlin": "gelu"}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Mish",))
+class TrainerV2Mish(TrainerV2):
+    def network_overrides(self) -> dict:
+        return {"nonlin": "mish"}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_LReLU_slope_2en1",))
+class TrainerV2LReLUSlope2en1(TrainerV2):
+    """LeakyReLU negative_slope 0.2 (nnUNetTrainerV2_LReLU_slope_2en1.py:22)."""
+
+    def network_overrides(self) -> dict:
+        return {"negative_slope": 2e-1}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_ReLU_biasInSegOutput",))
+class TrainerV2ReLUBiasInSegOutput(TrainerV2):
+    def network_overrides(self) -> dict:
+        return {"nonlin": "relu", "seg_output_bias": True}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_lReLU_biasInSegOutput",))
+class TrainerV2LReLUBiasInSegOutput(TrainerV2):
+    def network_overrides(self) -> dict:
+        return {"seg_output_bias": True}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_3ConvPerStage",))
+class TrainerV2_3ConvPerStage(TrainerV2):
+    """3 convs per stage at base 24 features (nnUNetTrainerV2_3ConvPerStage.py:22-25)."""
+
+    def network_overrides(self) -> dict:
+        return {"conv_per_stage": 3, "base_num_features": 24}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_3ConvPerStageSameFilters",))
+class TrainerV2_3ConvPerStageSameFilters(TrainerV2):
+    """3 convs per stage keeping the plan's base features
+    (nnUNetTrainerV2_3ConvPerStage_samefilters.py:22)."""
+
+    def network_overrides(self) -> dict:
+        return {"conv_per_stage": 3}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_allConv3x3",))
+class TrainerV2AllConv3x3(TrainerV2):
+    """Force every conv kernel to 3^d, overriding the plan's anisotropic 1x3x3
+    stages (nnUNetTrainerV2_allConv3x3.py:22)."""
+
+    def network_overrides(self) -> dict:
+        st = self.plans.stage(self.stage)
+        dim = len(st.patch_size)
+        n = len(st.conv_kernel_sizes)
+        return {"conv_kernel_sizes": ((3,) * dim,) * n}
 
 
 @TRAINERS.register(aliases=("nnUNetTrainerV2_fp32",))

@@ -105,3 +105,60 @@ def test_instance_norm_normalizes_per_sample():
     s = np.std(np.asarray(y), axis=(1, 2, 3))
     np.testing.assert_allclose(m, 0, atol=1e-4)
     np.testing.assert_allclose(s, 1, atol=1e-3)
+
+
+# ---------------------------------------------------------------- variant blocks
+@pytest.mark.parametrize("norm,nonlin", [
+    ("batch", "leaky_relu"), ("group", "leaky_relu"), ("frn", "leaky_relu"),
+    ("none", "relu"), ("instance", "gelu"), ("instance", "mish"),
+])
+def test_norm_nonlin_variants_forward(norm, nonlin):
+    net = GenericUNet(
+        input_channels=1, base_num_features=8, num_classes=3,
+        pool_op_kernel_sizes=POOLS, conv_kernel_sizes=KERNELS,
+        deep_supervision=False, dtype=jnp.float32, norm=norm, nonlin=nonlin)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 16, 16, 1))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (1, 8, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_frn_has_tau_and_threshold_behavior():
+    from multitalent_tpu.models.blocks import FRN
+    frn = FRN()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 4, 6))
+    params = frn.init(jax.random.PRNGKey(1), x)
+    assert set(params["params"]) == {"weight", "bias", "tau"}
+    y = frn.apply(params, x)
+    # with tau=0 init, outputs are max(w*xhat+b, 0) >= 0
+    assert float(np.min(np.asarray(y))) >= 0.0
+    # normalized by rms over spatial dims: check math for one channel
+    xf = np.asarray(x, np.float64)
+    nu2 = np.mean(xf ** 2, axis=(1, 2, 3), keepdims=True)
+    expect = np.maximum(xf / np.sqrt(nu2 + 1e-6), 0.0)
+    np.testing.assert_allclose(np.asarray(y), expect, atol=1e-4)
+
+
+def test_seg_output_bias_variant_adds_bias_param():
+    net = GenericUNet(
+        input_channels=1, base_num_features=8, num_classes=3,
+        pool_op_kernel_sizes=POOLS, conv_kernel_sizes=KERNELS,
+        deep_supervision=False, dtype=jnp.float32, seg_output_bias=True)
+    x = jnp.zeros((1, 8, 16, 16, 1))
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    assert "bias" in params["seg2"]
+
+
+def test_architectural_variant_trainers_registered():
+    from multitalent_tpu.registry import resolve_trainer
+    for name in ("nnUNetTrainerV2_BN", "nnUNetTrainerV2_GN", "nnUNetTrainerV2_FRN",
+                 "nnUNetTrainerV2_NoNormalization", "nnUNetTrainerV2_ReLU",
+                 "nnUNetTrainerV2_GeLU", "nnUNetTrainerV2_Mish",
+                 "nnUNetTrainerV2_LReLU_slope_2en1", "nnUNetTrainerV2_3ConvPerStage",
+                 "nnUNetTrainerV2_3ConvPerStageSameFilters",
+                 "nnUNetTrainerV2_allConv3x3",
+                 "nnUNetTrainerV2_ReLU_biasInSegOutput",
+                 "nnUNetTrainerV2_lReLU_biasInSegOutput"):
+        cls = resolve_trainer(name)
+        assert hasattr(cls, "network_overrides")

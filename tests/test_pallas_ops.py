@@ -1,0 +1,77 @@
+"""Pallas kernel tests (interpret mode on the CPU test platform — the same code
+path compiles natively on TPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multitalent_tpu.ops.fused_norm import fused_instance_norm_lrelu
+
+
+def _ref_in_lrelu(x, scale, bias, negative_slope=1e-2, eps=1e-5):
+    xf = np.asarray(x, np.float64)
+    axes = tuple(range(1, xf.ndim - 1))
+    mean = xf.mean(axis=axes, keepdims=True)
+    var = xf.var(axis=axes, keepdims=True)
+    y = (xf - mean) / np.sqrt(var + eps) * scale + bias
+    return np.where(y >= 0, y, y * negative_slope)
+
+
+@pytest.mark.parametrize("shape", [(2, 4, 8, 8, 6), (1, 40, 24, 3), (2, 37, 5)])
+def test_fused_norm_matches_reference(shape):
+    rng = np.random.RandomState(0)
+    x = rng.randn(*shape).astype(np.float32) * 3 + 1
+    c = shape[-1]
+    scale = rng.rand(c).astype(np.float32) + 0.5
+    bias = rng.randn(c).astype(np.float32)
+    got = fused_instance_norm_lrelu(jnp.asarray(x), jnp.asarray(scale),
+                                    jnp.asarray(bias), interpret=True)
+    expect = _ref_in_lrelu(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), expect, atol=2e-4)
+
+
+def test_fused_norm_bf16_io_fp32_stats():
+    rng = np.random.RandomState(1)
+    x = (rng.randn(1, 16, 16, 8) * 2).astype(jnp.bfloat16)
+    scale = jnp.ones((8,), jnp.float32)
+    bias = jnp.zeros((8,), jnp.float32)
+    got = fused_instance_norm_lrelu(x, scale, bias, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    expect = _ref_in_lrelu(np.asarray(x, np.float32), np.ones(8), np.zeros(8))
+    np.testing.assert_allclose(np.asarray(got, np.float32), expect, atol=0.05)
+
+
+def test_blocks_pallas_flag_parity(monkeypatch):
+    """ConvNormAct with MTTPU_PALLAS_NORM=1 matches the plain XLA path bitwise-close,
+    with an identical parameter tree."""
+    from multitalent_tpu.models.blocks import ConvNormAct
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 6, 8, 8, 3), jnp.float32)
+    block = ConvNormAct(features=5, kernel_size=(3, 3, 3), dtype=jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x)
+    base = block.apply(params, x)
+
+    monkeypatch.setenv("MTTPU_PALLAS_NORM", "1")
+    params2 = block.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params2)
+    fused = block.apply(params, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
+
+
+def test_dynamic_task_prioritization_loss():
+    from multitalent_tpu.training.losses import dynamic_task_prioritization_loss
+    rng = np.random.RandomState(3)
+    logits = jnp.asarray(rng.randn(2, 8, 8, 8, 4), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 4, (2, 8, 8, 8)), jnp.int32)
+    running = jnp.zeros((3,), jnp.float32)
+    loss, new_running = dynamic_task_prioritization_loss(logits, labels, running)
+    assert np.isfinite(float(loss))
+    # KPI moved toward the observed dice for present classes
+    assert np.any(np.asarray(new_running) != 0)
+    # update_kpi=False leaves the KPI untouched (only lowest DS level updates it)
+    _, frozen = dynamic_task_prioritization_loss(logits, labels, running,
+                                                 update_kpi=False)
+    np.testing.assert_array_equal(np.asarray(frozen), np.asarray(running))
+    # gradient flows
+    g = jax.grad(lambda lg: dynamic_task_prioritization_loss(lg, labels, running)[0])(logits)
+    assert np.all(np.isfinite(np.asarray(g)))
