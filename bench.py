@@ -149,8 +149,8 @@ def _measure(device, on_tpu: bool) -> dict:
     params = jax.jit(model.init)(jax.device_put(jax.random.PRNGKey(0), device),
                                  example)["params"]
 
-    def apply_fn(p, batch):
-        return model.apply({"params": p}, batch, deep_supervision=False)
+    from multitalent_tpu.ops.packed_unet import make_inference_apply_fn
+    apply_fn = make_inference_apply_fn(model)
 
     predictor = SlidingWindowPredictor(
         apply_fn, patch, in_channels=1, num_classes=47, nonlin="sigmoid",

@@ -205,12 +205,10 @@ class TrainerV2CascadeFullRes(TrainerV2):
             f"cascade inference expects {self.num_input_channels}+"
             f"{self.num_prev_classes} channels, got {data.shape[0]} "
             "(append the one-hot previous-stage segmentation)")
+        from multitalent_tpu.ops.packed_unet import make_inference_apply_fn
         from multitalent_tpu.ops.sliding_window import (
             SlidingWindowPredictor, segmentation_from_probabilities)
-        model = self.network
-
-        def apply_fn(p, batch):
-            return model.apply({"params": p}, batch, deep_supervision=False)
+        apply_fn = make_inference_apply_fn(self.network)
 
         predictor = SlidingWindowPredictor(
             apply_fn, tuple(int(p) for p in self.patch_size),

@@ -287,13 +287,16 @@ class TrainerV2(NetworkTrainerBase):
         val_transform = make_val_transform_fn(
             self.patch_size, self.deep_supervision_scales, self.data_aug_params,
             self.num_input_channels)
-        model = self.network
+        # packed (space-to-depth) execution of the small-channel stages when the
+        # network qualifies — ~2x step time on v5e, numerically equivalent
+        from multitalent_tpu.ops.packed_unet import make_train_forward_fn
+        forward = make_train_forward_fn(self.network)
 
         def train_step(state, rng, data_bc, seg_b1, extras):
             data, targets = augment(rng, data_bc, seg_b1)
 
             def compute(params):
-                outputs = model.apply({"params": params}, data, deterministic=False)
+                outputs = forward(params, data, deterministic=False)
                 return self.loss_fn(outputs, targets, extras)
 
             (loss, aux), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
@@ -302,7 +305,7 @@ class TrainerV2(NetworkTrainerBase):
 
         def eval_step(state, data_bc, seg_b1, extras):
             data, targets = val_transform(data_bc, seg_b1)
-            outputs = model.apply({"params": state.params}, data, deterministic=True)
+            outputs = forward(state.params, data, deterministic=True)
             loss, aux = self.loss_fn(outputs, targets, extras)
             return loss, aux, self.eval_stats(outputs, targets, extras)
 
@@ -428,12 +431,9 @@ class TrainerV2(NetworkTrainerBase):
                                      use_gaussian: bool = True):
         """Tiled predictor over this trainer's network
         (SegmentationNetwork.predict_3D analog, neural_network.py:73)."""
+        from multitalent_tpu.ops.packed_unet import make_inference_apply_fn
         from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
-        model = self.network
-
-        def apply_fn(params, batch):
-            return model.apply({"params": params}, batch, deep_supervision=False)
-
+        apply_fn = make_inference_apply_fn(self.network)
         mirror_axes = (0, 1, 2) if self.threeD else (0, 1)
         return SlidingWindowPredictor(
             apply_fn, tuple(int(p) for p in self.patch_size),

@@ -1,0 +1,216 @@
+"""Space-to-depth packed convolution rewrites (ops/packed_conv.py, ops/packed_unet.py).
+
+Every packed op must be numerically equivalent (fp32) to its canonical XLA/flax
+counterpart — packing is an execution-schedule change, never a model change.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+from jax import lax
+
+from multitalent_tpu.models.generic_unet import GenericUNet
+from multitalent_tpu.ops import packed_conv as pc
+from multitalent_tpu.ops.packed_unet import (make_inference_apply_fn,
+                                             packable_stages,
+                                             packed_unet_forward)
+
+rng = np.random.RandomState(42)
+
+
+def conv3d_same(x, w, strides=(1, 1, 1)):
+    pad = tuple(((k - 1) // 2, (k - 1) // 2) for k in w.shape[:3])
+    return lax.conv_general_dilated(
+        x, w, strides, pad, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def test_space_to_depth_roundtrip():
+    x = jnp.asarray(rng.randn(2, 4, 8, 12, 3).astype(np.float32))
+    assert np.allclose(pc.depth_to_space_yx(pc.space_to_depth_yx(x)), x)
+
+
+@pytest.mark.parametrize("k", [(3, 3, 3), (1, 3, 3), (1, 1, 1), (3, 1, 1)])
+def test_packed_conv3d_matches_native(k):
+    x = jnp.asarray(rng.randn(1, 4, 8, 12, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(*k, 3, 5).astype(np.float32))
+    ref = conv3d_same(x, w)
+    got = pc.depth_to_space_yx(pc.packed_conv3d(pc.space_to_depth_yx(x), w))
+    np.testing.assert_allclose(ref, got, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("z_stride", [1, 2])
+def test_packed_strided_conv_consumes_packing(z_stride):
+    x = jnp.asarray(rng.randn(1, 4, 8, 12, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 3, 6).astype(np.float32))
+    ref = conv3d_same(x, w, strides=(z_stride, 2, 2))
+    got = pc.packed_strided_conv3d(pc.space_to_depth_yx(x), w, z_stride=z_stride)
+    assert ref.shape == got.shape
+    np.testing.assert_allclose(ref, got, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("z_stride", [1, 2])
+def test_packed_transpose_matches_flax(z_stride):
+    """flax ConvTranspose (kernel==stride, VALID) vs the packed rewrite — the
+    decoder's re-entry into packed space (generic_UNet.py:296-300 analog)."""
+    x = jnp.asarray(rng.randn(1, 4, 8, 12, 6).astype(np.float32))
+    ks = (z_stride, 2, 2)
+    mod = nn.ConvTranspose(features=3, kernel_size=ks, strides=ks,
+                           padding="VALID", use_bias=False)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(params, x)
+    got = pc.depth_to_space_yx(
+        pc.packed_conv_transpose3d(x, params["params"]["kernel"],
+                                   z_stride=z_stride))
+    assert ref.shape == got.shape
+    np.testing.assert_allclose(ref, got, atol=2e-5, rtol=1e-4)
+
+
+def test_packed_pointwise_and_instance_norm():
+    x = jnp.asarray(rng.randn(2, 4, 8, 8, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, 1, 1, 3, 7).astype(np.float32))
+    b = jnp.asarray(rng.randn(7).astype(np.float32))
+    ref = conv3d_same(x, w) + b
+    got = pc.depth_to_space_yx(pc.packed_pointwise_conv3d(
+        pc.space_to_depth_yx(x), w, jnp.tile(b, pc.P)))
+    np.testing.assert_allclose(ref, got, atol=2e-5, rtol=1e-4)
+
+    scale = jnp.asarray(rng.randn(3).astype(np.float32))
+    bias = jnp.asarray(rng.randn(3).astype(np.float32))
+    xf = x
+    mean = xf.mean(axis=(1, 2, 3), keepdims=True)
+    var = jnp.square(xf - mean).mean(axis=(1, 2, 3), keepdims=True)
+    refn = (xf - mean) * lax.rsqrt(var + 1e-5) * scale + bias
+    refn = jnp.where(refn >= 0, refn, refn * 0.01)
+    gotn = pc.depth_to_space_yx(pc.packed_instance_norm(
+        pc.space_to_depth_yx(x), scale, bias, negative_slope=0.01))
+    np.testing.assert_allclose(refn, gotn, atol=2e-5, rtol=1e-4)
+
+
+def _unet(pools, ds=False, base=4, dtype=jnp.float32):
+    return GenericUNet(input_channels=1, base_num_features=base, num_classes=5,
+                       pool_op_kernel_sizes=pools,
+                       conv_kernel_sizes=((3, 3, 3),) * (len(pools) + 1),
+                       deep_supervision=ds, dtype=dtype)
+
+
+@pytest.mark.parametrize("pools,patch,pmc", [
+    # the MultiTalent pool topology scaled down, all stages packed
+    ((((2, 2, 2),) * 2 + ((1, 2, 2),)), (8, 16, 16), 256),
+    # production policy: stage 0 only
+    ((((2, 2, 2),) * 2 + ((1, 2, 2),)), (8, 16, 16), 128),
+    # anisotropic first pool
+    (((1, 2, 2), (2, 2, 2)), (4, 8, 8), 256),
+])
+def test_packed_unet_forward_matches_apply(pools, patch, pmc):
+    model = _unet(pools)
+    x = jnp.asarray(rng.randn(2, *patch, 1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    # perturb so every norm affine/bias is exercised away from init
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.1 * jnp.asarray(rng.randn(*p.shape).astype(np.float32)),
+        params)
+    assert packable_stages(model, patch, pmc) > 0
+    ref = model.apply({"params": params}, x, deep_supervision=False)
+    got = packed_unet_forward(model, params, x, pack_max_channels=pmc)
+    assert ref.shape == got.shape
+    scale = float(jnp.abs(ref).max()) + 1e-8
+    err = float(jnp.abs(ref - got).max()) / scale
+    if err < 1e-4:
+        return
+    # Random perturbed nets can be ill-conditioned (InstanceNorm variance near
+    # epsilon amplifies fp32 reduction-order differences exponentially through
+    # the stages). Judge against an fp64 ground truth: packed must be no
+    # farther from truth than the plain fp32 path, up to a small factor.
+    try:
+        jax.config.update("jax_enable_x64", True)
+        p64 = jax.tree_util.tree_map(lambda p: jnp.asarray(np.asarray(p),
+                                                           jnp.float64), params)
+        x64 = jnp.asarray(np.asarray(x), jnp.float64)
+        model64 = _unet(pools, dtype=jnp.float64)
+        ref64 = np.asarray(model64.apply({"params": p64}, x64,
+                                         deep_supervision=False))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    err_plain = np.abs(np.asarray(ref, np.float64) - ref64).max() / scale
+    err_packed = np.abs(np.asarray(got, np.float64) - ref64).max() / scale
+    assert err_packed <= max(3 * err_plain, 1e-4), (err_packed, err_plain)
+
+
+def test_packed_unet_deep_supervision_and_fallbacks():
+    pools = ((2, 2, 2), (1, 2, 2))
+    model = _unet(pools, ds=True)
+    x = jnp.asarray(rng.randn(1, 4, 8, 8, 1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    refs = model.apply({"params": params}, x, deep_supervision=True)
+    gots = packed_unet_forward(model, params, x, deep_supervision=True)
+    assert len(refs) == len(gots)
+    for r, g in zip(refs, gots):
+        assert r.shape == g.shape
+        np.testing.assert_allclose(r, g, atol=5e-5, rtol=1e-3)
+    # incompatible pool topology falls back to model.apply exactly
+    model2 = _unet(((2, 2, 1), (2, 2, 2)))
+    x2 = jnp.asarray(rng.randn(1, 8, 8, 8, 1).astype(np.float32))
+    params2 = model2.init(jax.random.PRNGKey(2), x2)["params"]
+    assert packable_stages(model2, (8, 8, 8)) == 0
+    ref2 = model2.apply({"params": params2}, x2, deep_supervision=False)
+    got2 = packed_unet_forward(model2, params2, x2)
+    np.testing.assert_array_equal(ref2, got2)
+
+
+def test_make_inference_apply_fn_selects_packed(monkeypatch):
+    model = _unet(((2, 2, 2),))
+    x = jnp.asarray(rng.randn(1, 4, 8, 8, 1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    fn = make_inference_apply_fn(model)
+    ref = model.apply({"params": params}, x, deep_supervision=False)
+    np.testing.assert_allclose(fn(params, x), ref, atol=5e-5, rtol=1e-3)
+    # env kill-switch forces the plain path
+    monkeypatch.setenv("MTTPU_PACKED_CONV", "0")
+    fn_off = make_inference_apply_fn(model)
+    np.testing.assert_array_equal(fn_off(params, x), ref)
+    # non-default norm is not packable -> plain path
+    model_bn = GenericUNet(input_channels=1, base_num_features=4, num_classes=5,
+                           pool_op_kernel_sizes=((2, 2, 2),),
+                           conv_kernel_sizes=((3, 3, 3),) * 2,
+                           deep_supervision=False, dtype=jnp.float32,
+                           norm="batch")
+    monkeypatch.delenv("MTTPU_PACKED_CONV", raising=False)
+    fn_bn = make_inference_apply_fn(model_bn)
+    params_bn = model_bn.init(jax.random.PRNGKey(0), x)["params"]
+    ref_bn = model_bn.apply({"params": params_bn}, x, deep_supervision=False)
+    np.testing.assert_array_equal(fn_bn(params_bn, x), ref_bn)
+
+
+def test_packed_train_forward_grads_match():
+    """Training integration: grads through the packed forward equal grads
+    through model.apply (fp32, deep supervision on)."""
+    from multitalent_tpu.ops.packed_unet import make_train_forward_fn
+    pools = ((2, 2, 2), (1, 2, 2))
+    model = _unet(pools, ds=True)
+    x = jnp.asarray(rng.randn(2, 4, 8, 8, 1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(3), x)["params"]
+    tgt = [jnp.asarray(rng.randn(*np.asarray(s).shape).astype(np.float32))
+           for s in model.apply({"params": params}, x, deep_supervision=True)]
+
+    def loss_apply(p):
+        outs = model.apply({"params": p}, x, deep_supervision=True)
+        return sum(jnp.mean((o - t) ** 2) for o, t in zip(outs, tgt))
+
+    fwd = make_train_forward_fn(model)
+
+    def loss_packed(p):
+        outs = fwd(p, x)
+        return sum(jnp.mean((o - t) ** 2) for o, t in zip(outs, tgt))
+
+    g_ref = jax.grad(loss_apply)(params)
+    g_pk = jax.grad(loss_packed)(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_pk = jax.tree_util.tree_leaves(g_pk)
+    # normalize by the global gradient scale: conv biases feeding InstanceNorm
+    # are mathematically dead (mean subtraction cancels them — true grad 0), so
+    # per-leaf relative error there is fp-noise divided by fp-noise
+    gscale = max(float(jnp.abs(a).max()) for _, a in flat_ref) + 1e-8
+    for (path, a), b in zip(flat_ref, flat_pk):
+        err = float(jnp.abs(a - b).max()) / gscale
+        assert err < 5e-4, (jax.tree_util.keystr(path), err)
