@@ -4,123 +4,132 @@ Why: the nnU-Net family puts most FLOPs in stride-1 3x3x3 convs with 30-60
 channels (reference generic_UNet.py:28-144 instantiates base_num_features=30/32).
 The TPU MXU contracts 128x128 tiles, so XLA's native conv3d lowering runs those
 layers at ~(C/128)^2 of peak (measured 10 TFLOP/s of 197 on v5e at C=30 — exactly
-the (30/128)^2 ceiling). Packing a 2x2 block of (y, x) phases into the channel
-dimension (space-to-depth) turns a C-channel conv into a 4C-channel conv on a
-quarter the voxels. The packed weight is block-sparse (each output phase only
-sees taps of compatible input phases), so the dense packed conv does 4x the
-FLOPs of the original — but MXU utilization rises ~16x, a net ~4x speedup, in
-pure XLA with no custom kernel.
+the (30/128)^2 ceiling). Packing spatial phases into the channel dimension
+(space-to-depth) turns a C-channel conv into an (fy*fx*C)-channel conv on
+1/(fy*fx) the voxels. The packed weight is block-sparse (each output phase only
+sees taps of compatible input phases), so the dense packed conv does fy*fx times
+the FLOPs of the original — but MXU utilization rises ~(fy*fx)^2, a large net
+win, in pure XLA with no custom kernel. v5e measurements (flagship layers):
+C=30 packed (2,2) -> C=120: 28.5 -> 16.8 ms per 3^3 conv at (2,96,192,192).
 
-Supported rewrites (all numerically exact, fp32-validated vs lax.conv):
+Per-axis factors: `factors=(fy, fx)` with fy, fx in {1, 2}; (2,2) packs a 2x2
+(y,x) block (C -> 4C), (1,2) packs x only (C -> 2C, for C=60 stages where 4C
+would overshoot the 128-lane tile). Factor-1 axes degenerate to the ordinary
+convolution semantics on that axis.
+
+Supported rewrites (all numerically exact, fp32-validated vs lax.conv/flax):
 - stride-1 kxkxk conv in packed space:            packed_conv3d
-- (2,2,2)-strided conv consuming the packing:     packed_strided_conv3d
-  (packed input -> unpacked half-res output; this is how an nnU-Net encoder
-  leaves the packed full-res stage)
-- (2,2,2) transposed conv producing the packing:  packed_conv_transpose3d
-  (unpacked half-res input -> packed full-res output; decoder re-entry)
+- (sz,2,2)-strided conv consuming the packing:    packed_strided_conv3d
+  (packed input -> unpacked strided output; how an nnU-Net encoder leaves a
+  packed stage; factor-1 axes keep their stride)
+- (sz,2,2) kernel==stride transposed conv producing the packing:
+                                                  packed_conv_transpose3d
+  (unpacked input -> packed output; decoder re-entry. On packed axes the taps
+  BECOME the output phases; on factor-1 axes outputs interleave)
 - 1x1x1 seg head in packed space:                 packed_pointwise_conv3d
-  (no FLOP penalty at all: K=4*Cin, N=4*Cout)
+  (phase-grouped einsum: zero FLOP overhead)
 
 Weights stay in the canonical unpacked layout (kz, ky, kx, Cin, Cout) — the
 same pytree the unpacked model uses, so checkpoints are interchangeable; the
-packed weight is materialized inside jit by a gather that XLA constant-folds
-into the compiled program when weights are literals and otherwise costs a few
-microseconds (the weight tensors are tiny next to the activations).
+packed weight is materialized inside jit by a scatter over the tiny weight
+tensors (negligible next to the activations).
 
-All functions take/return channels-last (N, Z, Y, X, C) arrays. Packing is over
-the last two spatial dims with factor 2 (the pool kernel the reference uses at
-full resolution, MultiTalent_bs4 plans pool_op_kernel_sizes[0]=[2,2,2]).
+All functions take/return channels-last (N, Z, Y, X, C) arrays; packed channel
+order is phase-major (py, px, c), matching space_to_depth_yx.
 """
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-F = 2  # packing factor along y and x
-P = F * F  # phases
+F = 2  # default packing factor along y and x
+P = F * F  # default phase count (factors=(2,2))
+
+
+def nphases(factors) -> int:
+    return int(factors[0]) * int(factors[1])
 
 
 # ---------------------------------------------------------------------------
 # layout transforms
 # ---------------------------------------------------------------------------
 
-def space_to_depth_yx(x: jax.Array) -> jax.Array:
-    """(N, Z, Y, X, C) -> (N, Z, Y/2, X/2, 4*C); phase-major channel order
-    (py, px, c). Y and X must be even."""
+def space_to_depth_yx(x: jax.Array, factors=(F, F)) -> jax.Array:
+    """(N, Z, Y, X, C) -> (N, Z, Y/fy, X/fx, fy*fx*C); phase-major channel
+    order (py, px, c). Y % fy == 0 and X % fx == 0 required."""
+    fy, fx = int(factors[0]), int(factors[1])
     n, z, y, xdim, c = x.shape
-    assert y % F == 0 and xdim % F == 0, (y, xdim)
-    x = x.reshape(n, z, y // F, F, xdim // F, F, c)
+    assert y % fy == 0 and xdim % fx == 0, (y, xdim, factors)
+    x = x.reshape(n, z, y // fy, fy, xdim // fx, fx, c)
     x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (n, z, y', x', py, px, c)
-    return x.reshape(n, z, y // F, xdim // F, P * c)
+    return x.reshape(n, z, y // fy, xdim // fx, fy * fx * c)
 
 
-def depth_to_space_yx(x: jax.Array) -> jax.Array:
+def depth_to_space_yx(x: jax.Array, factors=(F, F)) -> jax.Array:
     """Inverse of space_to_depth_yx."""
+    fy, fx = int(factors[0]), int(factors[1])
     n, z, yp, xp, pc = x.shape
-    c = pc // P
-    x = x.reshape(n, z, yp, xp, F, F, c)
+    c = pc // (fy * fx)
+    x = x.reshape(n, z, yp, xp, fy, fx, c)
     x = x.transpose(0, 1, 2, 4, 3, 5, 6)
-    return x.reshape(n, z, yp * F, xp * F, c)
+    return x.reshape(n, z, yp * fy, xp * fx, c)
 
 
 # ---------------------------------------------------------------------------
 # packed weight construction
 # ---------------------------------------------------------------------------
 
-def _phase_tap_table(k: int) -> tuple[np.ndarray, np.ndarray]:
-    """For a stride-1 length-k conv (SAME, centered) along one packed axis:
-    original input offset for output phase q and original tap d is
-    t = q + d - k//2. In packed coords t = F*o + p with o the packed-kernel
-    offset and p the input phase. Returns (kp, table) where kp is the packed
-    kernel length and table[q, d] = (ko, p) with ko = o + kp//2 (packed tap
-    index), entries -1 where out of packed-kernel range (cannot happen for
-    k<=2F+1)."""
+def _phase_tap_table(k: int, f: int) -> tuple[int, np.ndarray]:
+    """For a stride-1 length-k conv (SAME, centered) along an axis packed by
+    factor f: original input offset for output phase q and original tap d is
+    t = q + d - k//2. In packed coords t = f*o + p with o the packed-kernel
+    offset and p the input phase. Returns (kp, table) with kp the packed kernel
+    length and table[q, d] = (tap index, input phase). f=1 degenerates to the
+    identity mapping (kp=k, phase 0)."""
     half = k // 2
-    offs = np.arange(k) - half  # original taps relative to output voxel
-    # packed offsets needed across all phases
-    o_min = min((q + d) // F for q in range(F) for d in offs)
-    o_max = max((q + d) // F for q in range(F) for d in offs)
+    offs = np.arange(k) - half
+    o_min = min((q + int(d)) // f for q in range(f) for d in offs)
+    o_max = max((q + int(d)) // f for q in range(f) for d in offs)
     kp = o_max - o_min + 1
-    table = np.zeros((F, k, 2), np.int64)
-    for q in range(F):
+    table = np.zeros((f, k, 2), np.int64)
+    for q in range(f):
         for di, d in enumerate(offs):
-            t = q + d
-            o = t // F  # floor
-            p = t - F * o
-            table[q, di] = (o - o_min, p)
+            t = q + int(d)
+            o = t // f
+            table[q, di] = (o - o_min, t - f * o)
     return kp, table
 
 
-def pack_conv_weights(w: jax.Array) -> jax.Array:
-    """(kz, ky, kx, Cin, Cout) -> (kz, kyp, kxp, 4*Cin, 4*Cout) packed weight
-    for a stride-1 SAME conv in packed (y,x) space. Phase-major channel order
-    matches space_to_depth_yx."""
+def pack_conv_weights(w: jax.Array, factors=(F, F)) -> jax.Array:
+    """(kz, ky, kx, Cin, Cout) -> (kz, kyp, kxp, P*Cin, P*Cout) packed weight
+    for a stride-1 SAME conv in packed (y,x) space (P = fy*fx). Phase-major
+    channel order matches space_to_depth_yx."""
+    fy, fx = int(factors[0]), int(factors[1])
     kz, ky, kx, cin, cout = w.shape
-    kyp, ty = _phase_tap_table(ky)
-    kxp, tx = _phase_tap_table(kx)
-    wp = jnp.zeros((kz, kyp, kxp, F, F, cin, F, F, cout), w.dtype)
-    for qy in range(F):
+    kyp, ty = _phase_tap_table(ky, fy)
+    kxp, tx = _phase_tap_table(kx, fx)
+    wp = jnp.zeros((kz, kyp, kxp, fy, fx, cin, fy, fx, cout), w.dtype)
+    for qy in range(fy):
         for dy in range(ky):
             oy, py = int(ty[qy, dy, 0]), int(ty[qy, dy, 1])
-            for qx in range(F):
+            for qx in range(fx):
                 for dx in range(kx):
                     ox, px = int(tx[qx, dx, 0]), int(tx[qx, dx, 1])
                     wp = wp.at[:, oy, ox, py, px, :, qy, qx, :].set(
                         w[:, dy, dx, :, :])
-    return wp.reshape(kz, kyp, kxp, P * cin, P * cout)
+    p = fy * fx
+    return wp.reshape(kz, kyp, kxp, p * cin, p * cout)
 
 
-def packed_conv3d(x_packed: jax.Array, w: jax.Array, *,
+def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
                   precision=None) -> jax.Array:
     """Stride-1 SAME conv on a packed tensor. `w` is canonical
-    (kz, ky, kx, Cin, Cout); x_packed is (N, Z, Y', X', 4*Cin).
+    (kz, ky, kx, Cin, Cout); x_packed is (N, Z, Y', X', P*Cin).
     Equals space_to_depth(conv3d_same(depth_to_space(x), w))."""
-    kz, ky, kx = w.shape[:3]
-    wp = pack_conv_weights(w)
+    kz = w.shape[0]
+    wp = pack_conv_weights(w, factors)
     kyp, kxp = wp.shape[1], wp.shape[2]
     # SAME in original space == explicit padding (kp//2, kp-1-kp//2) in packed
     # cells: the phase-tap table centers the packed kernel so that zero-padding
@@ -137,55 +146,58 @@ def packed_conv3d(x_packed: jax.Array, w: jax.Array, *,
 # strided conv: packed input -> unpacked strided output (encoder downsampling)
 # ---------------------------------------------------------------------------
 
-def pack_strided_conv_weights(w: jax.Array, strides) -> jax.Array:
-    """(kz, ky, kx, Cin, Cout) with strides (sz, 2, 2) -> packed weight
-    (kz, kyp, kxp, 4*Cin, Cout): output phase fixed at q=0 (stride-2 original
-    outputs land on packed cell origins)."""
+def _phase_tap_table_strided(k: int, f: int) -> tuple[int, np.ndarray]:
+    """Tap table for a stride-2 original conv evaluated on an f-packed axis
+    (f in {1,2}): the conv's own stride on the packed grid is 2/f, so for f=2
+    output cells read original voxels 2*y' + d - k//2 (one output per cell) and
+    for f=1 the ordinary strided-conv geometry applies."""
+    half = k // 2
+    offs = np.arange(k) - half
+    o_min = min(int(d) // f for d in offs)
+    o_max = max(int(d) // f for d in offs)
+    kp = o_max - o_min + 1
+    table = np.zeros((k, 2), np.int64)
+    for di, d in enumerate(offs):
+        o = int(d) // f
+        table[di] = (o - o_min, int(d) - f * o)
+    return kp, table
+
+
+def pack_strided_conv_weights(w: jax.Array, factors=(F, F)) -> jax.Array:
+    """(kz, ky, kx, Cin, Cout) with original strides (sz, 2, 2) -> packed
+    weight (kz, kyp, kxp, P*Cin, Cout): output lands on packed cell origins."""
+    fy, fx = int(factors[0]), int(factors[1])
     kz, ky, kx, cin, cout = w.shape
-    kyp, ty = _phase_tap_table_strided(ky)
-    kxp, tx = _phase_tap_table_strided(kx)
-    wp = jnp.zeros((kz, kyp, kxp, F, F, cin, cout), w.dtype)
+    kyp, ty = _phase_tap_table_strided(ky, fy)
+    kxp, tx = _phase_tap_table_strided(kx, fx)
+    wp = jnp.zeros((kz, kyp, kxp, fy, fx, cin, cout), w.dtype)
     for dy in range(ky):
         oy, py = int(ty[dy, 0]), int(ty[dy, 1])
         for dx in range(kx):
             ox, px = int(tx[dx, 0]), int(tx[dx, 1])
             wp = wp.at[:, oy, ox, py, px, :, :].set(w[:, dy, dx, :, :])
-    return wp.reshape(kz, kyp, kxp, P * cin, cout)
-
-
-def _phase_tap_table_strided(k: int) -> tuple[int, np.ndarray]:
-    """Tap table for stride-F original conv evaluated on the packed grid:
-    output cell y' reads original voxels F*y' + d - k//2."""
-    half = k // 2
-    offs = np.arange(k) - half
-    o_min = min(int(d) // F for d in offs)
-    o_max = max(int(d) // F for d in offs)
-    kp = o_max - o_min + 1
-    table = np.zeros((k, 2), np.int64)
-    for di, d in enumerate(offs):
-        o = int(d) // F
-        p = int(d) - F * o
-        table[di] = (o - o_min, p)
-    return kp, table
+    return wp.reshape(kz, kyp, kxp, fy * fx * cin, cout)
 
 
 def packed_strided_conv3d(x_packed: jax.Array, w: jax.Array, *,
-                          z_stride: int = 2, precision=None) -> jax.Array:
-    """Conv with strides (z_stride, 2, 2) over the ORIGINAL grid, input packed,
-    output UNPACKED at half y/x resolution: (N, Z/sz, Y/2, X/2, Cout).
-    nnU-Net's first strided conv of the next stage; SAME padding semantics."""
+                          z_stride: int = 2, factors=(F, F),
+                          precision=None) -> jax.Array:
+    """Conv with strides (z_stride, 2, 2) over the ORIGINAL grid, input packed
+    by `factors`, output UNPACKED: (N, Z/sz, Y/2, X/2, Cout). nnU-Net's first
+    strided conv of the next stage; SAME (torch symmetric) padding semantics."""
+    fy, fx = int(factors[0]), int(factors[1])
     kz, ky, kx = w.shape[:3]
-    wp = pack_strided_conv_weights(w, (z_stride, F, F))
+    wp = pack_strided_conv_weights(w, factors)
     kyp, kxp = wp.shape[1], wp.shape[2]
     # left pad in packed cells = -o_min of the tap table (original tap -k//2
-    # lands in packed cell floor(-k//2 / F)); right pad fills the packed kernel
-    pady_l = -((-(ky // 2)) // F)
-    padx_l = -((-(kx // 2)) // F)
+    # lands in packed cell floor(-k//2 / f)); right pad fills the packed kernel
+    pady_l = -((-(ky // 2)) // fy)
+    padx_l = -((-(kx // 2)) // fx)
     pad = ((kz // 2, kz - 1 - kz // 2),
            (pady_l, kyp - 1 - pady_l),
            (padx_l, kxp - 1 - padx_l))
     return lax.conv_general_dilated(
-        x_packed, wp, window_strides=(z_stride, 1, 1), padding=pad,
+        x_packed, wp, window_strides=(z_stride, 2 // fy, 2 // fx), padding=pad,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), precision=precision)
 
 
@@ -193,62 +205,63 @@ def packed_strided_conv3d(x_packed: jax.Array, w: jax.Array, *,
 # transposed conv: unpacked input -> packed output (decoder upsampling)
 # ---------------------------------------------------------------------------
 
-def pack_transpose_weights(w: jax.Array) -> jax.Array:
-    """Transposed-conv weight (kz=sz, ky=2, kx=2, Cin, Cout), kernel==stride
-    (the reference's transpconv config, generic_UNet.py:296-300): in packed
-    space the (y,x) taps become output phases. Returns (kz, Cin, 4*Cout) for a
-    z-only transposed conv."""
-    kz, ky, kx, cin, cout = w.shape
-    assert ky == F and kx == F, "kernel must equal stride (2,2) in y,x"
-    # flax ConvTranspose (transpose_kernel=False) mirrors the kernel: output
-    # phase (qz,qy,qx) receives tap (kz-1-qz, ky-1-qy, kx-1-qx) — verified
-    # empirically against nn.ConvTranspose with a delta input
-    w = w[::-1, ::-1, ::-1]
-    wp = w.transpose(0, 3, 1, 2, 4)  # (kz, cin, qy, qx, cout)
-    return wp.reshape(kz, cin, P * cout)
-
-
 def packed_conv_transpose3d(x: jax.Array, w: jax.Array, *,
-                            z_stride: int = 2, precision=None) -> jax.Array:
+                            z_stride: int = 2, factors=(F, F),
+                            precision=None) -> jax.Array:
     """Transposed conv, kernel==stride==(z_stride,2,2), unpacked input
-    (N, Z, Y', X', Cin) -> packed output (N, Z*sz, Y', X', 4*Cout).
-    Because kernel==stride, each output voxel receives exactly one tap: in
-    packed space this is a pointwise conv in (y,x) and a transposed conv in z.
-    """
-    kz = w.shape[0]
-    assert kz == z_stride
-    wp = pack_transpose_weights(w)  # (kz, cin, 4*cout)
-    if z_stride == 1:
+    (N, Z, Y', X', Cin) -> output packed by `factors`:
+    (N, Z*sz, Y'*2/fy, X'*2/fx, P*Cout).
+
+    Because kernel==stride, each output voxel receives exactly one tap. On
+    packed axes the tap index becomes the output phase; on factor-1 axes (and
+    z) outputs of the per-tap pointwise products interleave. flax ConvTranspose
+    (transpose_kernel=False) mirrors the kernel — output position phase q
+    receives tap k-1-q on every axis (verified against nn.ConvTranspose with a
+    delta input) — hence the [::-1] flips."""
+    fy, fx = int(factors[0]), int(factors[1])
+    kz, ky, kx, cin, cout = w.shape
+    assert kz == z_stride and ky == 2 and kx == 2, (w.shape, z_stride)
+    wf = w[::-1, ::-1, ::-1]
+    ny = 1 if fy == 2 else ky  # interleave counts on non-packed axes
+    nx = 1 if fx == 2 else kx
+    p = fy * fx
+
+    def pointwise(iz, iy, ix):
+        sub = wf[iz]
+        sub = sub if fy == 2 else sub[iy:iy + 1]
+        sub = sub if fx == 2 else sub[:, ix:ix + 1]
+        # sub: (fy, fx, cin, cout) — phase dims where packed, singleton where not
+        kern = sub.transpose(2, 0, 1, 3).reshape(cin, p * cout)
         return lax.conv_general_dilated(
-            x, wp[0][None, None, None], window_strides=(1, 1, 1),
+            x, kern[None, None, None], window_strides=(1, 1, 1),
             padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             precision=precision)
-    # z transposed conv with kernel==stride: interleave kz pointwise products
-    outs = [
-        lax.conv_general_dilated(
-            x, wp[i][None, None, None], window_strides=(1, 1, 1),
-            padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            precision=precision)
-        for i in range(kz)
-    ]
-    stacked = jnp.stack(outs, axis=2)  # (n, z, kz, y', x', pc)
-    n, z, _, yp, xp, pc = stacked.shape
-    return stacked.reshape(n, z * kz, yp, xp, pc)
+
+    outs = [[[pointwise(iz, iy, ix) for ix in range(nx)] for iy in range(ny)]
+            for iz in range(kz)]
+    n, z, yp, xp, pc = outs[0][0][0].shape
+    # interleave x (axis 3), then y (axis 2), then z (axis 1)
+    rows = [[jnp.stack(o_iy, axis=4).reshape(n, z, yp, xp * nx, pc)
+             if nx > 1 else o_iy[0] for o_iy in o_iz] for o_iz in outs]
+    planes = [jnp.stack(r, axis=3).reshape(n, z, yp * ny, xp * nx, pc)
+              if ny > 1 else r[0] for r in rows]
+    if kz > 1:
+        return jnp.stack(planes, axis=2).reshape(n, z * kz, yp * ny, xp * nx, pc)
+    return planes[0]
 
 
 def packed_pointwise_conv3d(x_packed: jax.Array, w: jax.Array, b=None, *,
-                            precision=None) -> jax.Array:
-    """1x1x1 conv in packed space (e.g. seg heads): (..., 4*Cin) -> (..., 4*Cout)
-    with block-diagonal phase structure collapsed into one dense matmul of
-    shape (4*Cin, 4*Cout) — zero FLOP overhead vs the unpacked head is NOT
-    preserved by densifying, so we instead run it phase-grouped via reshape."""
+                            factors=(F, F), precision=None) -> jax.Array:
+    """1x1x1 conv in packed space (e.g. seg heads): (..., P*Cin) -> (..., P*Cout)
+    run phase-grouped via reshape+einsum — zero FLOP overhead vs unpacked."""
     kz, ky, kx, cin, cout = w.shape
     assert (kz, ky, kx) == (1, 1, 1)
+    p = nphases(factors)
     n, z, yp, xp, pc = x_packed.shape
-    xg = x_packed.reshape(n, z, yp, xp, P, cin)
+    xg = x_packed.reshape(n, z, yp, xp, p, cin)
     out = jnp.einsum("nzyxpi,io->nzyxpo", xg, w[0, 0, 0],
                      precision=precision)
-    out = out.reshape(n, z, yp, xp, P * cout)
+    out = out.reshape(n, z, yp, xp, p * cout)
     if b is not None:
         out = out + b
     return out
@@ -259,14 +272,15 @@ def packed_pointwise_conv3d(x_packed: jax.Array, w: jax.Array, b=None, *,
 # ---------------------------------------------------------------------------
 
 def packed_instance_norm(x_packed: jax.Array, scale: jax.Array,
-                         bias: jax.Array, *, eps: float = 1e-5,
+                         bias: jax.Array, *, factors=(F, F), eps: float = 1e-5,
                          negative_slope: float | None = None) -> jax.Array:
     """InstanceNorm over the ORIGINAL spatial dims of a packed tensor: stats
     reduce over (Z, Y', X') and the phase groups, per original channel; scale/
     bias are per original channel (C,). Optionally fuses LeakyReLU."""
+    p = nphases(factors)
     n, z, yp, xp, pc = x_packed.shape
-    c = pc // P
-    xg = x_packed.reshape(n, z, yp, xp, P, c)
+    c = pc // p
+    xg = x_packed.reshape(n, z, yp, xp, p, c)
     x32 = xg.astype(jnp.float32)
     mean = x32.mean(axis=(1, 2, 3, 4), keepdims=True)
     var = jnp.square(x32 - mean).mean(axis=(1, 2, 3, 4), keepdims=True)

@@ -5,21 +5,21 @@ runs the small-channel high-resolution stages in space-to-depth packed (y,x)
 layout (ops/packed_conv.py). The parameters, outputs, and numerics match
 `GenericUNet.apply` (bf16-exact up to reduction order); only the schedule of
 the compute changes: C=30 convolutions become C=120 convolutions on a quarter
-of the voxels, lifting MXU utilization from ~(30/128)^2 to ~40% measured on
-v5e (native 28.5 ms -> packed 16.8 ms for the full-res 3x3x3 conv at
-(2,96,192,192,30)).
+of the voxels (factors (2,2)) and C=60 convolutions become C=120 on half the
+voxels (factors (1,2)), lifting MXU utilization from ~(C/128)^2 toward the
+~128-lane ceiling.
 
-Used by the sliding-window inference engine (the bench-critical path). The
-reference has no analog — this is a TPU-specific execution strategy for the
-architecture at generic_UNet.py:156-401.
+Used by the sliding-window inference engine (the bench-critical path) and the
+jitted train/eval steps. The reference has no analog — this is a TPU-specific
+execution strategy for the architecture at generic_UNet.py:156-401.
 
-Packing policy: encoder stage d (and the matching decoder stage) runs packed
-iff 4*C_d <= `pack_max_channels` and every pooling transition it spans is
-(sz, 2, 2) with sz in {1, 2}. Deep-supervision heads below the packed stages
-are untouched. v5e measurements on the flagship (base 30, patch 96x192x192):
-pack_max_channels=128 (stage 0 only) is the sweet spot — 100.5->67.4 ms b1,
-245.9->116.3 ms/sample b2; packing the C=60/C=120 stages too (256/512) gives
-back a few percent because 4*C overshoots the 128-lane tile.
+Packing policy (`stage_factors`): per resolution stage, the largest per-axis
+factors (fy, fx) in {1,2}x{1,2} such that fy*fx*C_d <= pack_max_channels,
+provided every pooling transition the stage spans is (sz, 2, 2) with sz in
+{1, 2} and the stage's y/x extents divide. v5e flagship measurements (base 30,
+patch 96x192x192): stage0 (2,2)-packed gives fwd 245.9 -> 116.3 ms/sample (b2)
+and train fwd+bwd 495.6 -> 241.7 ms (b1); the default pack_max_channels=128
+additionally runs the C=60 stage (1,2)-packed.
 """
 from __future__ import annotations
 
@@ -32,6 +32,8 @@ from jax import lax
 
 from multitalent_tpu.models.generic_unet import GenericUNet, compute_stage_features
 from multitalent_tpu.ops import packed_conv as pc
+
+UNPACKED = (1, 1)
 
 
 def _conv_same(x, w, b=None, strides=(1, 1, 1), dtype=jnp.bfloat16):
@@ -55,44 +57,63 @@ def _instance_norm_lrelu(x, scale, bias, negative_slope=1e-2, eps=1e-5):
     return jnp.where(y >= 0, y, y * negative_slope)
 
 
-def _block(x, p, *, strides=(1, 1, 1), negative_slope, dtype, packed: bool):
+def _block(x, p, *, strides=(1, 1, 1), negative_slope, dtype,
+           factors=UNPACKED):
     """One ConvNormAct block (conv + bias -> InstanceNorm -> LeakyReLU)."""
     w, b = p["conv"]["kernel"], p["conv"]["bias"]
     ns, nb = p["norm"]["scale"], p["norm"]["bias"]
-    if packed:
+    if factors != UNPACKED:
         assert strides == (1, 1, 1)
-        out = pc.packed_conv3d(x.astype(dtype), w.astype(dtype))
-        out = out + jnp.tile(b.astype(dtype), pc.P)
-        return pc.packed_instance_norm(out, ns, nb,
+        out = pc.packed_conv3d(x.astype(dtype), w.astype(dtype),
+                               factors=factors)
+        out = out + jnp.tile(b.astype(dtype), pc.nphases(factors))
+        return pc.packed_instance_norm(out, ns, nb, factors=factors,
                                        negative_slope=negative_slope)
     out = _conv_same(x, w, b, strides, dtype)
     return _instance_norm_lrelu(out, ns, nb, negative_slope)
 
 
-def packable_stages(model: GenericUNet, patch_size: Sequence[int],
-                    pack_max_channels: int = 256) -> int:
-    """Number of leading resolution stages to run packed (0 = fully unpacked)."""
+def stage_factors(model: GenericUNet, patch_size: Sequence[int],
+                  pack_max_channels: int = 128) -> list[tuple[int, int]]:
+    """Per-encoder-stage packing factors (fy, fx); (1,1) = unpacked. Packed
+    stages form a leading prefix (channel widths grow monotonically)."""
+    num_pool = model.num_pool
     if len(patch_size) != 3:
-        return 0
-    feats = compute_stage_features(model.base_num_features, model.num_pool + 1,
+        return [UNPACKED] * num_pool
+    feats = compute_stage_features(model.base_num_features, num_pool + 1,
                                    model.max_num_features)
-    n = 0
+    out: list[tuple[int, int]] = []
     y, x = patch_size[1], patch_size[2]
-    for d in range(model.num_pool):
-        if pc.P * feats[d] > pack_max_channels or y % pc.F or x % pc.F:
-            break
+    prefix_alive = True
+    for d in range(num_pool):
         pool = tuple(model.pool_op_kernel_sizes[d])
-        if pool[1:] != (2, 2) or pool[0] not in (1, 2):
-            break
-        n += 1
+        total = 1
+        while total < 4 and feats[d] * total * 2 <= pack_max_channels:
+            total *= 2
+        fy, fx = {1: (1, 1), 2: (1, 2), 4: (2, 2)}[total]
+        ok = (prefix_alive and (fy, fx) != UNPACKED
+              and pool[1:] == (2, 2) and pool[0] in (1, 2)
+              and y % (2 if fy == 2 else 1) == 0 and x % 2 == 0)
+        if ok:
+            out.append((fy, fx))
+        else:
+            out.append(UNPACKED)
+            prefix_alive = False
         y //= pool[1]
         x //= pool[2]
-    return n
+    return out
+
+
+def packable_stages(model: GenericUNet, patch_size: Sequence[int],
+                    pack_max_channels: int = 128) -> int:
+    """Number of leading resolution stages that run packed (0 = fully unpacked)."""
+    return sum(1 for f in stage_factors(model, patch_size, pack_max_channels)
+               if f != UNPACKED)
 
 
 def packed_unet_forward(model: GenericUNet, params, x, *,
                         deep_supervision: bool = False,
-                        pack_max_channels: int = 256):
+                        pack_max_channels: int = 128):
     """Forward pass equal to model.apply({'params': params}, x,
     deep_supervision=...) but with the leading stages executed packed.
 
@@ -101,76 +122,75 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
     num_pool = model.num_pool
     dtype = model.dtype
     slope = model.negative_slope
-    n_packed = packable_stages(model, x.shape[1:4], pack_max_channels)
-    if n_packed == 0:
-        out = model.apply({"params": params}, x, deep_supervision=deep_supervision)
-        return out
+    sfactors = stage_factors(model, x.shape[1:4], pack_max_channels)
+    if all(f == UNPACKED for f in sfactors):
+        return model.apply({"params": params}, x,
+                           deep_supervision=deep_supervision)
 
     x = x.astype(dtype)
-    packed = True
-    x = pc.space_to_depth_yx(x)
+    cur = sfactors[0]
+    x = pc.space_to_depth_yx(x, cur)
 
     # ---- encoder ----------------------------------------------------------
-    skips = []      # per stage: tensor
-    skip_packed = []
+    skips = []
     for d in range(num_pool + 1):
         name = "bottleneck" if d == num_pool else f"enc{d}"
         p = params[name]
         stride = tuple(model.pool_op_kernel_sizes[d - 1]) if d > 0 else (1, 1, 1)
-        stage_packed = packed and d < n_packed
-        nblocks = model.conv_per_stage
-        for i in range(nblocks):
+        nxt = sfactors[d] if d < num_pool else UNPACKED
+        for i in range(model.conv_per_stage):
             bp = p[f"block{i}"]
             if i == 0 and d > 0:
-                if packed:
+                if cur != UNPACKED:
                     # strided conv consumes the packing
                     w, b = bp["conv"]["kernel"], bp["conv"]["bias"]
                     out = pc.packed_strided_conv3d(
-                        x.astype(dtype), w.astype(dtype), z_stride=stride[0])
+                        x.astype(dtype), w.astype(dtype), z_stride=stride[0],
+                        factors=cur)
                     out = out + b.astype(dtype)
-                    if stage_packed:
-                        out = pc.space_to_depth_yx(out)
+                    if nxt != UNPACKED:
+                        out = pc.space_to_depth_yx(out, nxt)
                         x = pc.packed_instance_norm(
                             out, bp["norm"]["scale"], bp["norm"]["bias"],
-                            negative_slope=slope)
+                            factors=nxt, negative_slope=slope)
                     else:
                         x = _instance_norm_lrelu(
                             out, bp["norm"]["scale"], bp["norm"]["bias"], slope)
-                    packed = stage_packed
+                    cur = nxt
                 else:
                     x = _block(x, bp, strides=stride, negative_slope=slope,
-                               dtype=dtype, packed=False)
+                               dtype=dtype)
             else:
                 x = _block(x, bp, negative_slope=slope, dtype=dtype,
-                           packed=packed)
+                           factors=cur)
         if d < num_pool:
             skips.append(x)
-            skip_packed.append(packed)
 
     # ---- decoder ----------------------------------------------------------
     seg_outputs = []
     for u in range(num_pool):
         s_idx = num_pool - 1 - u
         skip = skips[s_idx]
-        target_packed = skip_packed[s_idx]
+        target = sfactors[s_idx]
         stride = tuple(model.pool_op_kernel_sizes[s_idx])
         wt = params[f"up{u}"]["kernel"]
-        if target_packed:
-            if packed:
-                x = pc.depth_to_space_yx(x)
+        if target != UNPACKED:
+            if cur != UNPACKED:
+                x = pc.depth_to_space_yx(x, cur)
             x = pc.packed_conv_transpose3d(x.astype(dtype), wt.astype(dtype),
-                                           z_stride=stride[0])
-            packed = True
+                                           z_stride=stride[0], factors=target)
+            cur = target
             # phase-grouped concat: [up, skip] within each phase
+            ph = pc.nphases(target)
             n_, z_, yp_, xp_ = x.shape[:4]
-            cu = x.shape[-1] // pc.P
-            cs = skip.shape[-1] // pc.P
+            cu = x.shape[-1] // ph
+            cs = skip.shape[-1] // ph
             x = jnp.concatenate(
-                [x.reshape(n_, z_, yp_, xp_, pc.P, cu),
-                 skip.astype(x.dtype).reshape(n_, z_, yp_, xp_, pc.P, cs)],
-                axis=-1).reshape(n_, z_, yp_, xp_, pc.P * (cu + cs))
+                [x.reshape(n_, z_, yp_, xp_, ph, cu),
+                 skip.astype(x.dtype).reshape(n_, z_, yp_, xp_, ph, cs)],
+                axis=-1).reshape(n_, z_, yp_, xp_, ph * (cu + cs))
         else:
-            assert not packed
+            assert cur == UNPACKED
             x = lax.conv_transpose(
                 x.astype(dtype), wt.astype(dtype), strides=stride,
                 padding="VALID",
@@ -178,17 +198,18 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         for i in range(model.conv_per_stage):
             x = _block(x, params[f"dec{u}"][f"block{i}"], negative_slope=slope,
-                       dtype=dtype, packed=packed)
+                       dtype=dtype, factors=cur)
         # seg head
         if deep_supervision or u == num_pool - 1:
             hp = params[f"seg{u}"]
             hw = hp["kernel"]
             hb = hp.get("bias") if model.seg_output_bias else None
-            if packed:
+            if cur != UNPACKED:
                 logits = pc.packed_pointwise_conv3d(
                     x.astype(dtype), hw.astype(dtype),
-                    jnp.tile(hb.astype(dtype), pc.P) if hb is not None else None)
-                logits = pc.depth_to_space_yx(logits)
+                    jnp.tile(hb.astype(dtype), pc.nphases(cur))
+                    if hb is not None else None, factors=cur)
+                logits = pc.depth_to_space_yx(logits, cur)
             else:
                 logits = _conv_same(x, hw, hb, dtype=dtype)
             seg_outputs.append(logits.astype(jnp.float32))
@@ -196,6 +217,17 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
     if deep_supervision:
         return seg_outputs[::-1]
     return seg_outputs[-1]
+
+
+def _packed_enabled(env_var: str) -> bool:
+    """Packed execution trades FLOPs for MXU utilization — a win on TPU, a
+    pessimization on CPU (FLOP-bound). Default: on iff the default backend is
+    a TPU; env var forces it on ("1") or off ("0") regardless."""
+    import os
+    val = os.environ.get(env_var)
+    if val is not None:
+        return val != "0"
+    return jax.devices()[0].platform == "tpu"
 
 
 def make_inference_apply_fn(model):
@@ -209,7 +241,7 @@ def make_inference_apply_fn(model):
                 and model.norm == "instance"
                 and model.nonlin == "leaky_relu"
                 and model.dropout_rate == 0.0
-                and os.environ.get("MTTPU_PACKED_CONV", "1") != "0")
+                and _packed_enabled("MTTPU_PACKED_CONV"))
     if packable:
         pmc = int(os.environ.get("MTTPU_PACK_MAX_CHANNELS", "128"))
 
@@ -237,7 +269,7 @@ def make_train_forward_fn(model):
                 and model.norm == "instance"
                 and model.nonlin == "leaky_relu"
                 and model.dropout_rate == 0.0
-                and os.environ.get("MTTPU_PACKED_TRAIN", "1") != "0")
+                and _packed_enabled("MTTPU_PACKED_TRAIN"))
     if packable:
         pmc = int(os.environ.get("MTTPU_PACK_MAX_CHANNELS", "128"))
         ds = model.deep_supervision

@@ -30,27 +30,36 @@ def test_space_to_depth_roundtrip():
     assert np.allclose(pc.depth_to_space_yx(pc.space_to_depth_yx(x)), x)
 
 
+FACTOR_SETS = [(2, 2), (1, 2), (2, 1)]
+
+
+@pytest.mark.parametrize("factors", FACTOR_SETS)
 @pytest.mark.parametrize("k", [(3, 3, 3), (1, 3, 3), (1, 1, 1), (3, 1, 1)])
-def test_packed_conv3d_matches_native(k):
+def test_packed_conv3d_matches_native(k, factors):
     x = jnp.asarray(rng.randn(1, 4, 8, 12, 3).astype(np.float32))
     w = jnp.asarray(rng.randn(*k, 3, 5).astype(np.float32))
     ref = conv3d_same(x, w)
-    got = pc.depth_to_space_yx(pc.packed_conv3d(pc.space_to_depth_yx(x), w))
+    got = pc.depth_to_space_yx(
+        pc.packed_conv3d(pc.space_to_depth_yx(x, factors), w, factors=factors),
+        factors)
     np.testing.assert_allclose(ref, got, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("factors", FACTOR_SETS)
 @pytest.mark.parametrize("z_stride", [1, 2])
-def test_packed_strided_conv_consumes_packing(z_stride):
+def test_packed_strided_conv_consumes_packing(z_stride, factors):
     x = jnp.asarray(rng.randn(1, 4, 8, 12, 3).astype(np.float32))
     w = jnp.asarray(rng.randn(3, 3, 3, 3, 6).astype(np.float32))
     ref = conv3d_same(x, w, strides=(z_stride, 2, 2))
-    got = pc.packed_strided_conv3d(pc.space_to_depth_yx(x), w, z_stride=z_stride)
+    got = pc.packed_strided_conv3d(pc.space_to_depth_yx(x, factors), w,
+                                   z_stride=z_stride, factors=factors)
     assert ref.shape == got.shape
     np.testing.assert_allclose(ref, got, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("factors", FACTOR_SETS)
 @pytest.mark.parametrize("z_stride", [1, 2])
-def test_packed_transpose_matches_flax(z_stride):
+def test_packed_transpose_matches_flax(z_stride, factors):
     """flax ConvTranspose (kernel==stride, VALID) vs the packed rewrite — the
     decoder's re-entry into packed space (generic_UNet.py:296-300 analog)."""
     x = jnp.asarray(rng.randn(1, 4, 8, 12, 6).astype(np.float32))
@@ -61,7 +70,8 @@ def test_packed_transpose_matches_flax(z_stride):
     ref = mod.apply(params, x)
     got = pc.depth_to_space_yx(
         pc.packed_conv_transpose3d(x, params["params"]["kernel"],
-                                   z_stride=z_stride))
+                                   z_stride=z_stride, factors=factors),
+        factors)
     assert ref.shape == got.shape
     np.testing.assert_allclose(ref, got, atol=2e-5, rtol=1e-4)
 
@@ -137,6 +147,23 @@ def test_packed_unet_forward_matches_apply(pools, patch, pmc):
     assert err_packed <= max(3 * err_plain, 1e-4), (err_packed, err_plain)
 
 
+def test_packed_unet_mixed_factor_stages():
+    """base 40 with pack_max_channels=128: stage0 runs (1,2)-packed (2*40=80
+    fits, 4*40 overshoots) and deeper stages unpacked — the mixed-factor
+    production policy for the C=60 stages of base-30 nets."""
+    from multitalent_tpu.ops.packed_unet import stage_factors
+    pools = ((2, 2, 2), (1, 2, 2))
+    model = _unet(pools, base=40)
+    patch = (4, 8, 8)
+    assert stage_factors(model, patch, 128) == [(1, 2), (1, 1)]
+    x = jnp.asarray(rng.randn(1, *patch, 1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(5), x)["params"]
+    ref = model.apply({"params": params}, x, deep_supervision=False)
+    got = packed_unet_forward(model, params, x, pack_max_channels=128)
+    assert ref.shape == got.shape
+    np.testing.assert_allclose(ref, got, atol=5e-5, rtol=1e-3)
+
+
 def test_packed_unet_deep_supervision_and_fallbacks():
     pools = ((2, 2, 2), (1, 2, 2))
     model = _unet(pools, ds=True)
@@ -162,6 +189,8 @@ def test_make_inference_apply_fn_selects_packed(monkeypatch):
     model = _unet(((2, 2, 2),))
     x = jnp.asarray(rng.randn(1, 4, 8, 8, 1).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), x)["params"]
+    # force-on (the platform default is on only for TPU backends)
+    monkeypatch.setenv("MTTPU_PACKED_CONV", "1")
     fn = make_inference_apply_fn(model)
     ref = model.apply({"params": params}, x, deep_supervision=False)
     np.testing.assert_allclose(fn(params, x), ref, atol=5e-5, rtol=1e-3)
@@ -182,10 +211,11 @@ def test_make_inference_apply_fn_selects_packed(monkeypatch):
     np.testing.assert_array_equal(fn_bn(params_bn, x), ref_bn)
 
 
-def test_packed_train_forward_grads_match():
+def test_packed_train_forward_grads_match(monkeypatch):
     """Training integration: grads through the packed forward equal grads
     through model.apply (fp32, deep supervision on)."""
     from multitalent_tpu.ops.packed_unet import make_train_forward_fn
+    monkeypatch.setenv("MTTPU_PACKED_TRAIN", "1")
     pools = ((2, 2, 2), (1, 2, 2))
     model = _unet(pools, ds=True)
     x = jnp.asarray(rng.randn(2, 4, 8, 8, 1).astype(np.float32))
