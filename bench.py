@@ -115,7 +115,9 @@ def pick_device():
     with ThreadPoolExecutor(1) as ex:
         fut = ex.submit(probe)
         try:
-            fut.result(timeout=180)
+            # generous: the remote-compile relay has been observed to take >2
+            # minutes for even a trivial program when its cache is cold/busy
+            fut.result(timeout=600)
             return dev, True
         except Exception:
             print("# accelerator probe failed; falling back to CPU",

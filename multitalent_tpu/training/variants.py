@@ -355,3 +355,104 @@ class TrainerV2FP32(TrainerV2):
         super().__init__(plans_file, fold, output_folder, dataset_directory,
                          batch_dice, stage, unpack_data, deterministic,
                          fp16=False, seed=seed)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Loss_MCC",))
+class TrainerV2LossMCC(TrainerV2):
+    """Matthews-correlation loss + CE (loss_functions ...MCC.py analog,
+    TopK_loss.py:198)."""
+
+    def loss_fn(self, outputs, targets, extras):
+        weights = [float(w) for w in self.ds_loss_weights]
+
+        def fn(o, t):
+            return L.mcc_loss(o, t) + L.robust_cross_entropy(o, t)
+
+        return deep_supervision_loss(outputs, targets, fn, weights), {}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Loss_DC_CE_squared",
+                            "nnUNetTrainerV2_SquaredDiceCE"))
+class TrainerV2LossSquaredDice(TrainerV2):
+    """Squared-denominator Dice + CE (dice_loss.py:245 SoftDiceLossSquared)."""
+
+    def loss_fn(self, outputs, targets, extras):
+        weights = [float(w) for w in self.ds_loss_weights]
+
+        def fn(o, t):
+            dc = L.squared_dice_loss(o, t, batch_dice=self.batch_dice,
+                                     do_bg=False)
+            return dc + L.robust_cross_entropy(o, t)
+
+        return deep_supervision_loss(outputs, targets, fn, weights), {}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_momentum095",))
+class TrainerV2Momentum095(TrainerV2):
+    def initialize_optimizer(self):
+        from multitalent_tpu.training.schedules import make_poly_schedule
+        from multitalent_tpu.training.train_state import make_sgd_optimizer
+        schedule = make_poly_schedule(self.initial_lr, self.max_num_epochs,
+                                      self.num_batches_per_epoch)
+        return make_sgd_optimizer(schedule, momentum=0.95,
+                                  weight_decay=self.weight_decay)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_momentum098",))
+class TrainerV2Momentum098(TrainerV2):
+    def initialize_optimizer(self):
+        from multitalent_tpu.training.schedules import make_poly_schedule
+        from multitalent_tpu.training.train_state import make_sgd_optimizer
+        schedule = make_poly_schedule(self.initial_lr, self.max_num_epochs,
+                                      self.num_batches_per_epoch)
+        return make_sgd_optimizer(schedule, momentum=0.98,
+                                  weight_decay=self.weight_decay)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Ranger_lr3en4",
+                            "nnUNetTrainerV2_Ranger"))
+class TrainerV2Ranger(TrainerV2):
+    """Ranger = RAdam + Lookahead at lr 3e-4
+    (optimizer_and_lr/nnUNetTrainerV2_Ranger_lr3en4.py), built from optax
+    primitives instead of the torch-optimizer package."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.initial_lr = 3e-4
+
+    def initialize_optimizer(self):
+        import optax
+        from multitalent_tpu.training.schedules import make_poly_schedule
+        schedule = make_poly_schedule(self.initial_lr, self.max_num_epochs,
+                                      self.num_batches_per_epoch)
+        # Deviation: Lookahead's slow-weight copy is omitted (optax.lookahead
+        # changes the param pytree shape, which would leak into every
+        # checkpoint/inference path for a minor ablation trainer); RAdam
+        # carries the variant's substance (rectified warmup-free adaptivity).
+        return optax.chain(
+            optax.add_decayed_weights(self.weight_decay),
+            optax.scale_by_radam(),
+            optax.scale_by_learning_rate(schedule),
+        )
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_cycleAtEnd",))
+class TrainerV2CycleAtEnd(TrainerV2):
+    """polyLR for the normal schedule, then one cosine lr cycle over the final
+    100 epochs peaking back at the initial lr
+    (optimizer_and_lr/nnUNetTrainerV2_cycleAtEnd.py:21-39)."""
+
+    cycle_epochs = 100
+
+    def initialize_optimizer(self):
+        import optax
+        from multitalent_tpu.training.schedules import make_poly_schedule
+        from multitalent_tpu.training.train_state import make_sgd_optimizer
+        ipe = self.num_batches_per_epoch
+        main_epochs = max(self.max_num_epochs - self.cycle_epochs, 1)
+        poly = make_poly_schedule(self.initial_lr, main_epochs, ipe)
+        cycle = optax.cosine_onecycle_schedule(
+            transition_steps=self.cycle_epochs * ipe,
+            peak_value=self.initial_lr)
+        schedule = optax.join_schedules([poly, cycle], [main_epochs * ipe])
+        return make_sgd_optimizer(schedule, weight_decay=self.weight_decay)

@@ -16,3 +16,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The tunnelled-TPU sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon in the environment, so jax.config has already cached that
+# value by the time this conftest runs — setting the env var above is then a
+# no-op and the whole "CPU" suite silently runs through the remote TPU relay
+# (glacial and flaky). Update the config directly; backends have not been
+# initialized yet at collection time, so this is still allowed.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

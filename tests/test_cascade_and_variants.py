@@ -101,3 +101,22 @@ def test_no_deep_supervision_trainer(tmp_path):
     assert np.isfinite(loss)
     t.tr_gen.stop()
     t.val_gen.stop()
+
+
+def test_new_optimizer_and_loss_variants_resolve_and_run(tmp_path):
+    """Ranger (RAdam), cycleAtEnd joined schedule, MCC / squared-dice losses."""
+    from multitalent_tpu.registry import resolve_trainer
+    dd = make_preprocessed(tmp_path)
+    for name in ("nnUNetTrainerV2_Ranger", "nnUNetTrainerV2_cycleAtEnd",
+                 "nnUNetTrainerV2_Loss_MCC", "nnUNetTrainerV2_Loss_DC_CE_squared",
+                 "nnUNetTrainerV2_momentum098"):
+        cls = resolve_trainer(name)
+        t = cls(tiny_plans(), 0, str(tmp_path / f"out_{name}"), dd)
+        t.max_num_epochs = 1
+        t.num_batches_per_epoch = 1
+        t.num_val_batches_per_epoch = 1
+        t.initialize(True)
+        loss = t.run_iteration(t.tr_gen, True)
+        assert np.isfinite(loss), name
+        t.tr_gen.stop()
+        t.val_gen.stop()
