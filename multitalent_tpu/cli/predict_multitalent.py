@@ -13,6 +13,8 @@ from multitalent_tpu.inference.predict import predict_from_folder
 
 
 def main(argv=None) -> None:
+    from multitalent_tpu.configuration import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("-i", "--input_folder", required=True)
     parser.add_argument("-o", "--output_folder", required=True)

@@ -17,6 +17,8 @@ from multitalent_tpu.cli.configuration import get_default_configuration
 
 
 def main(argv=None) -> None:
+    from multitalent_tpu.configuration import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("network",
                         choices=["2d", "3d_lowres", "3d_fullres",

@@ -184,3 +184,39 @@ def test_tiled_predictor_multi_device_sharding():
     multi = SlidingWindowPredictor(apply_fn, devices=devices[:4], **base)(w, vol)
     # fp16 accumulators round in a different order when sharded
     np.testing.assert_allclose(multi, single, atol=5e-3)
+
+
+def test_bitpacked_region_fetch_matches_probs_path():
+    """finalize_packed + unpack_class_bits == (probs > 0.5): the low-bandwidth
+    device->host path must be bit-identical to thresholding fetched fp16."""
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.sliding_window import (SlidingWindowPredictor,
+                                                    unpack_class_bits)
+
+    K = 5  # also exercises the K<32 padding path
+    rngl = np.random.RandomState(3)
+    wk = jnp.asarray(rngl.randn(1, K).astype(np.float32))
+
+    def apply_fn(params, batch):
+        return jnp.einsum("bzyxc,ck->bzyxk", batch, params)
+
+    pred = SlidingWindowPredictor(apply_fn, (6, 6, 6), in_channels=1,
+                                  num_classes=K, nonlin="sigmoid",
+                                  tta_chunk=2)
+    vol = rngl.randn(1, 8, 9, 10).astype(np.float32)
+    probs = pred(wk, vol)
+    masks = pred.predict_regions_packed(wk, vol)
+    assert masks.shape == (K, 8, 9, 10) and masks.dtype == bool
+    np.testing.assert_array_equal(masks, probs > 0.5)
+
+
+def test_unpack_class_bits_wide():
+    """47-channel packing spans two uint32 words."""
+    from multitalent_tpu.ops.sliding_window import unpack_class_bits
+    rngl = np.random.RandomState(4)
+    bits = rngl.rand(3, 4, 5, 47) > 0.5
+    packed = np.zeros((3, 4, 5, 2), np.uint32)
+    for k in range(47):
+        packed[..., k // 32] |= bits[..., k].astype(np.uint32) << np.uint32(k % 32)
+    out = unpack_class_bits(packed, 47)
+    np.testing.assert_array_equal(out, np.moveaxis(bits, -1, 0))
