@@ -110,8 +110,65 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
     futures = []
     pending = None  # (out_fname, probs_dev, slicer, properties)
 
+    def _device_export_applicable(properties) -> bool:
+        """Resample+argmax/threshold on device and fetch only the final
+        segmentation (ops/device_export.py): ~25-200x less device->host
+        traffic. Host fallback when softmax must be materialized (save_npz)
+        or the case needs the separate-z anisotropic resampling."""
+        import os
+        from multitalent_tpu.ops.device_export import can_export_on_device
+        if os.environ.get("MTTPU_DEVICE_EXPORT", "1") == "0":
+            return False
+        if save_npz:
+            return False
+        return can_export_on_device(properties)
+
+    def _flush_device(out_fname, probs_dev, slicer, properties):
+        import jax.numpy as jnp
+        from multitalent_tpu.ops.device_export import (
+            device_resample_argmax, device_resample_threshold_packed,
+            segmentation_from_regions_packed)
+        from multitalent_tpu.inference.segmentation_export import (
+            save_segmentation_nifti)
+        probs_c = probs_dev[tuple(slicer) + (slice(None),)]
+        # undo the planner's axis transpose on device (size_after_cropping is
+        # in the original axis order, predict.py:222-235 analog)
+        tb = properties.get("transpose_backward")
+        if tb is not None and list(tb) != [0, 1, 2]:
+            probs_c = jnp.transpose(probs_c, [int(i) for i in tb] + [3])
+        out_shape = tuple(int(s) for s in properties["size_after_cropping"])
+        if region_class_order is not None or export_region_niftis:
+            # mean > 0.5  <=>  fold-sum > 0.5 * n_folds
+            packed = np.asarray(device_resample_threshold_packed(
+                probs_c, out_shape, threshold=0.5 * len(all_fold_params)))
+            seg = segmentation_from_regions_packed(
+                packed, region_class_order
+                if region_class_order is not None
+                else range(1, probs_c.shape[-1] + 1))
+        else:
+            seg = np.asarray(device_resample_argmax(probs_c, out_shape))
+            packed = None
+        maybe_mkdir(os.path.dirname(out_fname) or ".")
+        futures.append(export_pool.submit(
+            save_segmentation_nifti, seg.astype(np.float32), out_fname,
+            properties))
+        if export_region_niftis and packed is not None:
+            from multitalent_tpu.tasks.multitalent import REGIONS
+            individual = maybe_mkdir(os.path.join(
+                os.path.dirname(out_fname), "individual"))
+            case_id = os.path.basename(out_fname)[:-7]
+            for i, r in enumerate(REGIONS):
+                mask = ((packed[..., i // 32] >> np.uint32(i % 32)) & 1)
+                rdir = maybe_mkdir(os.path.join(individual, r))
+                futures.append(export_pool.submit(
+                    save_segmentation_nifti, mask.astype(np.float32),
+                    os.path.join(rdir, case_id + ".nii.gz"), dict(properties)))
+
     def flush(pending):
         out_fname, probs_dev, slicer, properties = pending
+        if _device_export_applicable(properties):
+            _flush_device(out_fname, probs_dev, slicer, properties)
+            return
         probs_mean = predictor.fetch(probs_dev, slicer) / len(all_fold_params)
         _export(out_fname, probs_mean, properties)
 

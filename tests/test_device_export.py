@@ -1,0 +1,69 @@
+"""On-device export (ops/device_export.py): resample+reduce on device must match
+the host export path (segmentation_export.py analog) wherever it is enabled."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multitalent_tpu.inference.segmentation_export import (
+    resample_probabilities_to_cropped_grid, segmentation_from_probs)
+from multitalent_tpu.ops.device_export import (can_export_on_device,
+                                               device_resample_argmax,
+                                               device_resample_threshold_packed,
+                                               segmentation_from_regions_packed)
+
+rng = np.random.RandomState(11)
+
+
+def _props(shape_after_crop, spacing=(1.0, 1.0, 1.0)):
+    return {"size_after_cropping": np.array(shape_after_crop),
+            "original_spacing": np.array(spacing),
+            "spacing_after_resampling": np.array((1.0, 1.0, 1.0))}
+
+
+def test_can_export_on_device_gates_separate_z():
+    assert can_export_on_device(_props((8, 9, 10)))
+    # anisotropy beyond the threshold (ratio > 3) -> host path
+    assert not can_export_on_device(_props((8, 9, 10), spacing=(5.0, 1.0, 1.0)))
+    assert can_export_on_device(_props((8, 9, 10), spacing=(5.0, 1.0, 1.0)),
+                                force_separate_z=False)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_device_argmax_matches_host_export(k):
+    probs = rng.rand(6, 7, 8, k).astype(np.float32)
+    out_shape = (9, 11, 13)
+    host = resample_probabilities_to_cropped_grid(
+        np.moveaxis(probs, -1, 0), _props(out_shape), order=1)
+    host_seg = host.argmax(0)
+    dev_seg = np.asarray(device_resample_argmax(jnp.asarray(probs), out_shape,
+                                                chunk_channels=2))
+    # linear resampling numerics differ at ~1e-7; only near-tie voxels may flip
+    mismatch = np.mean(dev_seg != host_seg)
+    assert mismatch < 0.01, mismatch
+
+
+def test_device_threshold_packed_matches_host_export():
+    k = 37  # spans two uint32 words with a ragged tail
+    probs = rng.rand(6, 7, 8, k).astype(np.float32)
+    out_shape = (9, 10, 12)
+    host = resample_probabilities_to_cropped_grid(
+        np.moveaxis(probs, -1, 0), _props(out_shape), order=1)
+    host_bits = host > 0.5
+    packed = np.asarray(device_resample_threshold_packed(
+        jnp.asarray(probs), out_shape, threshold=0.5, chunk_channels=4))
+    assert packed.shape == (*out_shape, 2)
+    dev_bits = np.stack([((packed[..., i // 32] >> np.uint32(i % 32)) & 1)
+                         .astype(bool) for i in range(k)])
+    mismatch = np.mean(dev_bits != host_bits)
+    assert mismatch < 0.01, mismatch
+    # labelmap assembly in region_class_order
+    order = list(range(1, k + 1))
+    seg = segmentation_from_regions_packed(packed, order)
+    host_seg = segmentation_from_probs(host, order)
+    assert np.mean(seg != host_seg) < 0.02
+
+
+def test_identity_shape_resample_is_exact():
+    probs = rng.rand(5, 6, 7, 4).astype(np.float32)
+    seg = np.asarray(device_resample_argmax(jnp.asarray(probs), (5, 6, 7)))
+    np.testing.assert_array_equal(seg, probs.argmax(-1))
