@@ -1,0 +1,203 @@
+"""Pallas stride-1 3x3x3 convolution for packed (C~120) stages.
+
+Why a hand kernel when XLA's conv already runs the packed layers at ~42% MXU
+utilization (ops/packed_conv.py): the remaining factor-2 sits in XLA's conv
+lowering. At C=120 every filter tap is an MXU-shaped GEMM on its own
+(K = N = 120 -> ~94% of one 128x128 tile), so the conv decomposes into 27
+shifted [M,120]x[120,120] dots accumulated in fp32. That formulation loses in
+XLA (each dot round-trips HBM: measured 151 ms vs 34.5 ms native at C=30) but
+can win in Pallas where the haloed input block and the accumulator never leave
+VMEM.
+
+Layout: channels-last (N, Z, Y, X, C) bf16, SAME padding via an XLA pre-pad
+(pad once, slice windows freely). Grid over (batch*z-blocks, y-blocks,
+x-blocks); each program DMAs its (bz+2, by+2, bx+2, C) halo block HBM->VMEM,
+runs the 27-tap accumulation on the MXU, and writes the (bz, by, bx, C) bf16
+result.
+
+Forward-only: callers keep XLA's conv for the backward pass (packed_conv3d
+gradients), which preserves training correctness while this kernel powers the
+sliding-window inference path. Enable with MTTPU_PALLAS_CONV=1 (off by default
+unless it beats XLA on the target shape — see
+documentation/performance_notes.md for measurements).
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv_kernel(x_ref, w_ref, out_ref, xblk, sems, *, bz, by, bx, c, cout,
+                 zb, yb, xb):
+    # The x (sublane) dim of HBM slices must be 8-aligned, so the input is
+    # pre-padded by 8 in x and each program over-fetches an aligned bx+16
+    # window; the +-1 halo sits at in-window offset 7..bx+9. z/y dims carry
+    # no alignment constraint and use exact +-1 halos.
+    #
+    # TPU grids execute sequentially on the core, so the two-slot scratch
+    # double-buffers the halo DMA across grid steps: step g waits on its own
+    # slot and prefetches step g+1's block into the other.
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    g = (i * yb + j) * xb + k
+    n_steps = pl.num_programs(0) * yb * xb
+    slot = jax.lax.rem(g, 2)
+
+    def start_fetch(step, slot):
+        kk = jax.lax.rem(step, xb)
+        jj = jax.lax.rem(step // xb, yb)
+        ii = step // (xb * yb)
+        dma = pltpu.make_async_copy(
+            x_ref.at[ii // zb, pl.ds(jax.lax.rem(ii, zb) * bz, bz + 2),
+                     pl.ds(jj * by, by + 2), pl.ds(kk * bx, bx + 16), :],
+            xblk.at[slot], sems.at[slot])
+        dma.start()
+        return dma
+
+    @pl.when(g == 0)
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when(g + 1 < n_steps)
+    def _():
+        start_fetch(g + 1, 1 - slot)
+
+    pltpu.make_async_copy(x_ref.at[0, pl.ds(0, bz + 2), pl.ds(0, by + 2),
+                                   pl.ds(0, bx + 16), :],
+                          xblk.at[slot], sems.at[slot]).wait()
+
+    def body(acc):
+        acc[:] = jnp.zeros_like(acc)
+        for dz in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    xs = xblk[slot, dz:dz + bz, dy:dy + by,
+                              dx + 7:dx + 7 + bx, :]
+                    a2 = xs.reshape(bz * by * bx, c)
+                    wt = w_ref[dz, dy, dx, :, :]
+                    acc[:] += jnp.dot(a2, wt,
+                                      preferred_element_type=jnp.float32)
+        out_ref[0] = acc[:].reshape(bz, by, bx, cout).astype(out_ref.dtype)
+
+    pl.run_scoped(body, pltpu.VMEM((bz * by * bx, cout), jnp.float32))
+
+
+@lru_cache(maxsize=32)
+def _build(n, z, y, x, c, cout, dtype_name, bz, by, bx, interpret=False):
+    dtype = jnp.dtype(dtype_name)
+    zb = z // bz
+    yb = y // by
+    xb = x // bx
+    grid = (n * zb, yb, xb)
+    kernel = partial(_conv_kernel, bz=bz, by=by, bx=bx, c=c, cout=cout,
+                     zb=zb, yb=yb, xb=xb)
+    flops = 2 * 27 * c * cout * n * z * y * x
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # padded input, DMA'd manually
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bz, by, bx, cout),
+            lambda i, j, k, zb=zb: (i // zb, i % zb, j, k, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, z, y, x, cout), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bz + 2, by + 2, bx + 16, c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(n * (z + 2) * (y + 2) * (x + 16) * c * 2
+                            + n * z * y * x * cout * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+
+def _pick_blocks(z, y, x):
+    """Block sizes dividing the spatial dims, sized for ~1 MB VMEM blocks."""
+    def best(dim, targets):
+        for t in targets:
+            if dim % t == 0:
+                return t
+        return None
+    bz = best(z, (8, 6, 4, 12, 2))
+    by = best(y, (16, 12, 24, 8, 6, 4))
+    bx = best(x, (16, 12, 24, 8, 6, 4))
+    if None in (bz, by, bx):
+        return None
+    return bz, by, bx
+
+
+def pallas_conv3d_same(x, w, *, interpret: bool = False):
+    """Stride-1 SAME 3x3x3 conv, channels-last; raises ValueError when the
+    shape is unsupported (callers fall back to lax.conv). Channels are padded
+    to the 128-lane tile inside (HBM->VMEM DMA slices must be lane-aligned);
+    for the target C=120 that costs 6.7% extra FLOPs."""
+    n, z, y, xdim, c = x.shape
+    kz, ky, kx, cin, cout = w.shape
+    if (kz, ky, kx) != (3, 3, 3) or cin != c:
+        raise ValueError("unsupported kernel")
+    blocks = _pick_blocks(z, y, xdim)
+    if blocks is None:
+        raise ValueError("unsupported shape")
+    bz, by, bx = blocks
+    cp = -(-c // 128) * 128
+    coutp = -(-cout // 128) * 128
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (8, 8), (0, cp - c)))
+    wp = jnp.pad(w, ((0, 0),) * 3 + ((0, cp - c), (0, coutp - cout)))
+    call = _build(n, z, y, xdim, cp, coutp, str(x.dtype), bz, by, bx,
+                  interpret)
+    out = call(xpad, wp.astype(x.dtype))
+    return out[..., :cout] if coutp != cout else out
+
+
+def pallas_conv_enabled() -> bool:
+    """Default: on for TPU backends (measured 118.7 vs XLA's 82.7 TFLOP/s on
+    the packed C=120 flagship conv); env MTTPU_PALLAS_CONV forces on/off."""
+    import os
+    val = os.environ.get("MTTPU_PALLAS_CONV")
+    if val is not None:
+        return val != "0"
+    return jax.devices()[0].platform == "tpu"
+
+
+def _ref_conv(x, w):
+    pad = tuple(((k - 1) // 2, (k - 1) // 2) for k in w.shape[:3])
+    return lax.conv_general_dilated(
+        x, w, (1, 1, 1), pad, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+@jax.custom_vjp
+def conv3d_same_fast(x, w):
+    """SAME stride-1 conv: Pallas forward when the shape qualifies, XLA
+    backward (the Pallas kernel is forward-only; training grads keep XLA's
+    packed-conv performance)."""
+    try:
+        return pallas_conv3d_same(x, w)
+    except ValueError:
+        return _ref_conv(x, w)
+
+
+def _fast_fwd(x, w):
+    return conv3d_same_fast(x, w), (x, w)
+
+
+def _fast_bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(_ref_conv, x, w)
+    return vjp(g.astype(x.dtype))
+
+
+conv3d_same_fast.defvjp(_fast_fwd, _fast_bwd)
