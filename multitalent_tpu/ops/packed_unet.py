@@ -37,6 +37,10 @@ UNPACKED = (1, 1)
 
 
 def _conv_same(x, w, b=None, strides=(1, 1, 1), dtype=jnp.bfloat16):
+    # note: routing the unpacked interior stages through the Pallas tap-GEMM
+    # conv was measured SLOWER end-to-end (67.4 vs 64.8 ms/sample b2) — their
+    # smaller spatial extents don't amortize the halo DMA; only the packed
+    # stages use it (packed_conv3d).
     pad = tuple(((k - 1) // 2, (k - 1) // 2) for k in w.shape[:3])
     out = lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype), tuple(strides), pad,
