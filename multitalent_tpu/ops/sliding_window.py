@@ -129,41 +129,48 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         return x
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(acc, cnt, params, padded_volume, coord, bits, vmask, weight):
-        """Process one (tile, TTA-chunk): batched flipped forward, accumulate the
-        unflipped probability sum into the tile's accumulator region."""
-        z, y, x = coord[0], coord[1], coord[2]
-        tile = jax.lax.dynamic_slice(padded_volume, (z, y, x, 0),
-                                     (*patch, in_channels))
-        batch = jax.vmap(lambda b: flip_sel(tile, b))(bits)
-        logits = apply_fn(params, batch).astype(jnp.float32)
-        if nonlin == "softmax":
-            probs = jax.nn.softmax(logits, axis=-1)
-        elif nonlin == "sigmoid":
-            probs = jax.nn.sigmoid(logits)
-        else:
-            probs = logits
-        # probabilities held in bf16, statistics accumulated in fp32: halves the
-        # live prob buffers so a larger TTA batch fits (conv throughput scales
-        # strongly with batch on TPU); the reference's all_in_gpu mode makes the
-        # same precision trade with fp16 (neural_network.py:338-364)
-        unflipped = jax.vmap(flip_sel)(probs.astype(jnp.bfloat16), bits)
-        v = vmask.astype(jnp.bfloat16).reshape(
-            (vmask.shape[0],) + (1,) * (unflipped.ndim - 1))
-        mean_scaled = jnp.sum(unflipped * v, axis=0,
-                              dtype=jnp.float32) / len(combos)
+    def step(acc, cnt, params, padded_volume, coords, bits, vmask, weights):
+        """Process TILES_PER_STEP tiles x one TTA-chunk each: batched flipped
+        forward, accumulate the unflipped probability sum into each tile's
+        accumulator region. Tiles run sequentially inside the program (same
+        peak memory as one tile) — batching them per dispatch halves the
+        host->relay round-trips, which cost ~0.1 s each on tunnelled TPUs.
+        Per-tile `weights` zero out padding tiles (odd tile counts)."""
+        for t in range(coords.shape[0]):
+            z, y, x = coords[t, 0], coords[t, 1], coords[t, 2]
+            weight = weights[t]
+            tile = jax.lax.dynamic_slice(padded_volume, (z, y, x, 0),
+                                         (*patch, in_channels))
+            batch = jax.vmap(lambda b: flip_sel(tile, b))(bits)
+            logits = apply_fn(params, batch).astype(jnp.float32)
+            if nonlin == "softmax":
+                probs = jax.nn.softmax(logits, axis=-1)
+            elif nonlin == "sigmoid":
+                probs = jax.nn.sigmoid(logits)
+            else:
+                probs = logits
+            # probabilities held in bf16, statistics accumulated in fp32: halves
+            # the live prob buffers so a larger TTA batch fits (conv throughput
+            # scales strongly with batch on TPU); the reference's all_in_gpu mode
+            # makes the same precision trade with fp16 (neural_network.py:338-364)
+            unflipped = jax.vmap(flip_sel)(probs.astype(jnp.bfloat16), bits)
+            v = vmask.astype(jnp.bfloat16).reshape(
+                (vmask.shape[0],) + (1,) * (unflipped.ndim - 1))
+            mean_scaled = jnp.sum(unflipped * v, axis=0,
+                                  dtype=jnp.float32) / len(combos)
 
-        # accumulators are stored fp16 (the reference's all_in_gpu mode does the
-        # same, neural_network.py:338-364); the add itself runs in fp32
-        contrib = mean_scaled * gauss * weight
-        cur = jax.lax.dynamic_slice(acc, (z, y, x, 0), (*patch, num_classes))
-        acc = jax.lax.dynamic_update_slice(
-            acc, (cur.astype(jnp.float32) + contrib).astype(acc.dtype),
-            (z, y, x, 0))
-        cur_c = jax.lax.dynamic_slice(cnt, (z, y, x, 0), (*patch, 1))
-        new_c = cur_c.astype(jnp.float32) + gauss * (weight / len(combos)) * jnp.sum(v)
-        cnt = jax.lax.dynamic_update_slice(cnt, new_c.astype(cnt.dtype),
-                                           (z, y, x, 0))
+            # accumulators are stored fp16 (the reference's all_in_gpu mode does
+            # the same, neural_network.py:338-364); the add itself runs in fp32
+            contrib = mean_scaled * gauss * weight
+            cur = jax.lax.dynamic_slice(acc, (z, y, x, 0), (*patch, num_classes))
+            acc = jax.lax.dynamic_update_slice(
+                acc, (cur.astype(jnp.float32) + contrib).astype(acc.dtype),
+                (z, y, x, 0))
+            cur_c = jax.lax.dynamic_slice(cnt, (z, y, x, 0), (*patch, 1))
+            new_c = (cur_c.astype(jnp.float32)
+                     + gauss * (weight / len(combos)) * jnp.sum(v))
+            cnt = jax.lax.dynamic_update_slice(cnt, new_c.astype(cnt.dtype),
+                                               (z, y, x, 0))
         return acc, cnt
 
     @jax.jit
@@ -202,7 +209,22 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
     # compile backends)
     bits_list = [np.ascontiguousarray(flip_masks[j]) for j in range(n_chunks)]
     valid_list = [np.ascontiguousarray(valid[j]) for j in range(n_chunks)]
-    one = np.float32(1.0)
+    TILES_PER_STEP = 2
+
+    def _tile_groups(coords_host: np.ndarray):
+        """Group tile coords into TILES_PER_STEP batches; the tail group pads
+        by repeating the last tile with weight 0."""
+        n = coords_host.shape[0]
+        groups = []
+        for g0 in range(0, n, TILES_PER_STEP):
+            cg = coords_host[g0:g0 + TILES_PER_STEP]
+            wg = np.ones(TILES_PER_STEP, np.float32)
+            if cg.shape[0] < TILES_PER_STEP:
+                wg[cg.shape[0]:] = 0.0
+                cg = np.concatenate(
+                    [cg, np.repeat(cg[-1:], TILES_PER_STEP - cg.shape[0], 0)])
+            groups.append((np.ascontiguousarray(cg), wg))
+        return groups
 
     def run(params, padded_volume, coords_host: np.ndarray, devices=None,
             pack_threshold=None):
@@ -212,21 +234,21 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         out_shape = padded_volume.shape[:-1] + (num_classes,)
         acc = jnp.zeros(out_shape, jnp.float16)
         cnt = jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float16)
-        for i in range(coords_host.shape[0]):
-            coord = np.ascontiguousarray(coords_host[i])
+        for cg, wg in _tile_groups(coords_host):
             for j in range(n_chunks):
-                acc, cnt = step(acc, cnt, params, padded_volume, coord,
-                                bits_list[j], valid_list[j], one)
+                acc, cnt = step(acc, cnt, params, padded_volume, cg,
+                                bits_list[j], valid_list[j], wg)
         if pack_threshold is not None:
             return finalize_packed(acc, cnt, np.float32(pack_threshold))
         return finalize(acc, cnt)
 
     def _run_sharded(params, padded_volume, coords_host, devices,
                      pack_threshold=None):
-        """Multi-chip tile sharding: tiles round-robin over devices, each device
-        keeps its own volume copy + accumulators (every step is independent), the
-        partial accumulators sum on device 0 at the end. Near-linear scaling —
-        no collectives, no cross-device sync until the final reduction."""
+        """Multi-chip tile sharding: tile groups round-robin over devices, each
+        device keeps its own volume copy + accumulators (every step is
+        independent), the partial accumulators sum on device 0 at the end.
+        Near-linear scaling — no collectives, no cross-device sync until the
+        final reduction."""
         out_shape = padded_volume.shape[:-1] + (num_classes,)
         vols, params_d, accs, cnts = [], [], [], []
         for dev in devices:
@@ -236,12 +258,11 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             cnts.append(jax.device_put(
                 jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float16), dev))
         n_dev = len(devices)
-        for i in range(coords_host.shape[0]):
+        for i, (cg, wg) in enumerate(_tile_groups(coords_host)):
             d = i % n_dev
-            coord = np.ascontiguousarray(coords_host[i])
             for j in range(n_chunks):
                 accs[d], cnts[d] = step(accs[d], cnts[d], params_d[d], vols[d],
-                                        coord, bits_list[j], valid_list[j], one)
+                                        cg, bits_list[j], valid_list[j], wg)
         acc = accs[0].astype(jnp.float32)
         cnt = cnts[0].astype(jnp.float32)
         for d in range(1, n_dev):
