@@ -39,6 +39,17 @@ def main(argv=None) -> None:
     parser.add_argument("--valbest", action="store_true")
     parser.add_argument("--val_folder", default="validation_raw")
     parser.add_argument("--disable_postprocessing_on_folds", action="store_true")
+    # accepted for drop-in compatibility with nnUNet_train_DP/_DDP invocations
+    # (run_training_DP.py/run_training_DDP.py): the jitted step is data-parallel
+    # over every visible device of the mesh, so process/GPU-count plumbing and
+    # --dbs batch distribution happen automatically
+    parser.add_argument("-gpus", type=int, default=None,
+                        help="ignored: data parallelism spans all mesh devices")
+    parser.add_argument("--dbs", action="store_true",
+                        help="ignored: the global batch is always sharded "
+                             "across the device mesh")
+    parser.add_argument("--local_rank", type=int, default=0,
+                        help="ignored: no per-process launcher on TPU")
     parser.add_argument("-pretrained_weights", default=None,
                         help="checkpoint file to import backbone weights from")
     args = parser.parse_args(argv)
