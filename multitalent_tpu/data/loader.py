@@ -202,6 +202,7 @@ class PrefetchPipeline:
         self.queue: queue.Queue = queue.Queue(maxsize=queue_depth)
         self.transform = transform
         self.stop_event = threading.Event()
+        self._worker_error: BaseException | None = None
         self.workers = []
         for w in range(num_workers):
             sampler = sampler_factory(w)
@@ -210,22 +211,31 @@ class PrefetchPipeline:
             self.workers.append(t)
 
     def _worker(self, sampler):
-        while not self.stop_event.is_set():
-            batch = sampler.generate_train_batch()
-            if self.transform is not None:
-                batch = self.transform(batch)
+        try:
             while not self.stop_event.is_set():
-                try:
-                    self.queue.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+                batch = sampler.generate_train_batch()
+                if self.transform is not None:
+                    batch = self.transform(batch)
+                while not self.stop_event.is_set():
+                    try:
+                        self.queue.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # propagate to the consumer (a crashed
+            # sampler — corrupt npz, bad pkl — must fail training loudly, not
+            # leave __next__ polling an empty queue forever)
+            self._worker_error = e
+            self.stop_event.set()
 
     def __next__(self):
         while True:
             try:
                 return self.queue.get(timeout=5.0)
             except queue.Empty:
+                if self._worker_error is not None:
+                    raise RuntimeError(
+                        "PrefetchPipeline worker died") from self._worker_error
                 if self.stop_event.is_set():
                     raise StopIteration
                 continue

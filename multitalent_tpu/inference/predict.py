@@ -137,17 +137,19 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
         if tb is not None and list(tb) != [0, 1, 2]:
             probs_c = jnp.transpose(probs_c, [int(i) for i in tb] + [3])
         out_shape = tuple(int(s) for s in properties["size_after_cropping"])
+        packed = None
         if region_class_order is not None or export_region_niftis:
             # mean > 0.5  <=>  fold-sum > 0.5 * n_folds
             packed = np.asarray(device_resample_threshold_packed(
                 probs_c, out_shape, threshold=0.5 * len(all_fold_params)))
-            seg = segmentation_from_regions_packed(
-                packed, region_class_order
-                if region_class_order is not None
-                else range(1, probs_c.shape[-1] + 1))
+        if region_class_order is not None:
+            seg = segmentation_from_regions_packed(packed, region_class_order)
         else:
+            # softmax model: the main labelmap is ALWAYS argmax (matching the
+            # host path, save_segmentation_nifti_from_softmax with
+            # region_class_order=None); the packed thresholded bits serve only
+            # the per-region niftis below
             seg = np.asarray(device_resample_argmax(probs_c, out_shape))
-            packed = None
         maybe_mkdir(os.path.dirname(out_fname) or ".")
         futures.append(export_pool.submit(
             save_segmentation_nifti, seg.astype(np.float32), out_fname,

@@ -57,8 +57,14 @@ def _resize_chunk_fn(in_shape, out_shape, nchunk):
     @jax.jit
     def fn(probs, base):
         chunk = jax.lax.dynamic_slice_in_dim(probs, base, nchunk, axis=-1)
+        # antialias=False: the host path this replaces (skimage order-1
+        # semantics in resample_probabilities_to_cropped_grid) does not
+        # anti-alias, and jax.image.resize's default antialias=True changes
+        # the result whenever any axis downscales (original grid coarser than
+        # the plans' target spacing) — measured max|diff| 0.21 vs 6e-8.
         return jax.image.resize(chunk.astype(jnp.float32),
-                                (*out_shape, nchunk), method="linear")
+                                (*out_shape, nchunk), method="linear",
+                                antialias=False)
     return fn
 
 

@@ -134,7 +134,11 @@ def _pick_blocks(z, y, x):
         return None
     bz = best(z, (8, 6, 4, 12, 2))
     by = best(y, (16, 12, 24, 8, 6, 4))
-    bx = best(x, (16, 12, 24, 8, 6, 4))
+    # bx must be a multiple of 8: HBM->VMEM DMA windows start at kk*bx in the
+    # sublane (x) dim and sublane slice starts must be 8-aligned — the +8
+    # pre-pad only yields aligned windows when bx % 8 == 0 (bx=12 would
+    # compile-fail in Mosaic with no fallback).
+    bx = best(x, (16, 8, 24))
     if None in (bz, by, bx):
         return None
     return bz, by, bx

@@ -381,9 +381,12 @@ class SlidingWindowPredictor:
                                pack_threshold=pack_threshold)
                 self.tta_chunk = chunk  # persist: don't re-attempt the OOM size
                 break
-            except Exception:
-                # typically HBM exhaustion at large volumes: halve the TTA batch
-                if chunk <= 1:
+            except Exception as e:
+                # HBM exhaustion at large volumes: halve the TTA batch. Only
+                # resource exhaustion qualifies — any other error (a genuine
+                # bug, a dead backend) must surface immediately, not be
+                # retried down to chunk==1.
+                if chunk <= 1 or not _is_oom_error(e):
                     raise
                 chunk //= 2
                 print(f"# sliding window: retrying with tta_chunk={chunk}",
@@ -398,6 +401,18 @@ class SlidingWindowPredictor:
                                                     pack_threshold=threshold)
         packed = np.asarray(packed_dev)[tuple(slicer) + (slice(None),)]
         return unpack_class_bits(packed, self.num_classes)
+
+
+def _is_oom_error(e: BaseException) -> bool:
+    """True for device memory exhaustion (XLA RESOURCE_EXHAUSTED / allocator
+    OOM), the only error class the TTA-chunk back-off may retry."""
+    msg = str(e)
+    if "RESOURCE_EXHAUSTED" in msg or "RESOURCE EXHAUSTED" in msg:
+        return True
+    low = msg.lower()
+    return ("out of memory" in low
+            or ("allocation" in low and "failed" in low)
+            or ("hbm" in low and "exceed" in low))
 
 
 def unpack_class_bits(packed_zyxw: np.ndarray, num_classes: int) -> np.ndarray:

@@ -157,13 +157,16 @@ class TrainerV2CascadeFullRes(TrainerV2):
         # channels only, one-hot + corruption) before jitting the steps
         from multitalent_tpu.augment import pipeline as P
         import jax
-        from multitalent_tpu.parallel import batch_sharding, get_data_mesh
+        from multitalent_tpu.parallel.mesh import plan_batch_sharding
 
-        n_dev = len(jax.devices())
         self._mesh = None
-        if n_dev > 1 and self.batch_size % n_dev == 0:
-            self._mesh = get_data_mesh()
-            self._batch_sharding = batch_sharding(self._mesh)
+        plan = plan_batch_sharding(self.batch_size, self.patch_size)
+        self._sharding_plan = plan
+        if plan is not None:
+            self._mesh = plan.mesh
+            self._volume_sharding = plan.volume_sharding
+            self._batch_sharding = plan.batch_sharding
+            self.print_to_log_file(plan.description)
 
         augment = P.make_cascade_augment_fn(
             self.patch_size, self.deep_supervision_scales, self.data_aug_params,
@@ -173,8 +176,16 @@ class TrainerV2CascadeFullRes(TrainerV2):
             self.num_input_channels, self.num_prev_classes)
         model = self.network
 
+        splan = self._sharding_plan
+
+        def _constrain(data):
+            if splan is not None:
+                data = splan.constrain_activations(data, channels_last=True)
+            return data
+
         def train_step(state, rng, data_bc, seg_b2, extras):
             data, targets = augment(rng, data_bc, seg_b2)
+            data = _constrain(data)
 
             def compute(params):
                 outputs = model.apply({"params": params}, data,
@@ -188,6 +199,7 @@ class TrainerV2CascadeFullRes(TrainerV2):
 
         def eval_step(state, data_bc, seg_b2, extras):
             data, targets = val_transform(data_bc, seg_b2)
+            data = _constrain(data)
             outputs = model.apply({"params": state.params}, data,
                                   deterministic=True)
             loss, aux = self.loss_fn(outputs, targets, extras)

@@ -37,7 +37,6 @@ from multitalent_tpu.augment.pipeline import (ds_scales_from_pools, make_augment
                                               make_val_transform_fn)
 from multitalent_tpu.data.dataset import kfold_split, load_dataset, unpack_dataset
 from multitalent_tpu.data.loader import PatchSampler2D, PatchSampler3D, PrefetchPipeline
-from multitalent_tpu.parallel import batch_sharding, get_data_mesh
 from multitalent_tpu.plans import Plans, load_plans
 from multitalent_tpu.registry import TRAINERS
 from multitalent_tpu.training.losses import (dc_and_ce_loss, deep_supervision_loss,
@@ -273,14 +272,26 @@ class TrainerV2(NetworkTrainerBase):
 
     # -------------------------------------------------------------- jitted steps
     def _build_step_functions(self) -> None:
-        n_dev = len(jax.devices())
+        from multitalent_tpu.parallel.mesh import (distribute_batch_size,
+                                                   plan_batch_sharding)
         self._mesh = None
-        if n_dev > 1 and self.batch_size % n_dev == 0:
-            self._mesh = get_data_mesh()
-            self._batch_sharding = batch_sharding(self._mesh)
-            self.print_to_log_file(
-                f"data-parallel over {n_dev} devices "
-                f"(local batch {self.batch_size // n_dev})")
+        plan = plan_batch_sharding(self.batch_size, self.patch_size)
+        self._sharding_plan = plan
+        if plan is not None:
+            self._mesh = plan.mesh
+            self._volume_sharding = plan.volume_sharding
+            self._batch_sharding = plan.batch_sharding
+            self.print_to_log_file(plan.description)
+            n_data = plan.mesh.shape.get("data", 1)
+            if n_data > 1:
+                # --dbs parity record: per-shard batch / fg-oversample split
+                # (nnUNetTrainerV2_DDP.set_batch_size_and_oversample, :75-117).
+                # The host sampler draws the GLOBAL batch with the last
+                # o-fraction fg-forced, so sharding preserves the policy.
+                sizes, frac_fn = distribute_batch_size(self.batch_size, n_data)
+                self.print_to_log_file(
+                    f"per-shard batch sizes {sizes}, fg-oversample fractions "
+                    f"{[round(f, 3) for f in frac_fn(self.oversample_foreground_percent)]}")
 
         augment = make_augment_fn(self.patch_size, self.deep_supervision_scales,
                                   self.data_aug_params, self.num_input_channels)
@@ -292,8 +303,20 @@ class TrainerV2(NetworkTrainerBase):
         from multitalent_tpu.ops.packed_unet import make_train_forward_fn
         forward = make_train_forward_fn(self.network)
 
+        plan = self._sharding_plan
+
+        def _constrain(data):
+            # hybrid (data, space) plans: the host batch arrives batch-sharded
+            # only (rotation-enlarged patches have odd extents); once augment
+            # has cropped to the final patch, pin batch-only then reshard to
+            # the spatial layout (see BatchShardingPlan.constrain_activations)
+            if plan is not None:
+                data = plan.constrain_activations(data, channels_last=True)
+            return data
+
         def train_step(state, rng, data_bc, seg_b1, extras):
             data, targets = augment(rng, data_bc, seg_b1)
+            data = _constrain(data)
 
             def compute(params):
                 outputs = forward(params, data, deterministic=False)
@@ -305,6 +328,7 @@ class TrainerV2(NetworkTrainerBase):
 
         def eval_step(state, data_bc, seg_b1, extras):
             data, targets = val_transform(data_bc, seg_b1)
+            data = _constrain(data)
             outputs = forward(state.params, data, deterministic=True)
             loss, aux = self.loss_fn(outputs, targets, extras)
             return loss, aux, self.eval_stats(outputs, targets, extras)
@@ -313,8 +337,13 @@ class TrainerV2(NetworkTrainerBase):
         self._eval_step = jax.jit(eval_step)
 
     def _put_batch(self, arrays):
+        """Place host batch arrays: 5-D volumes get the plan's (data, space)
+        sharding, lower-rank extras (e.g. (b, R) region masks) shard on the
+        batch axis only."""
         if self._mesh is not None:
-            return tuple(jax.device_put(a, self._batch_sharding) for a in arrays)
+            return tuple(jax.device_put(
+                a, self._volume_sharding if np.ndim(a) == 5
+                else self._batch_sharding) for a in arrays)
         return arrays
 
     # ---------------------------------------------------------------- lifecycle
@@ -362,6 +391,9 @@ class TrainerV2(NetworkTrainerBase):
         data, seg = batch["data"], batch["seg"]
         extras = self.batch_extras(batch)
         data, seg = self._put_batch((data, seg))
+        if self._mesh is not None and extras:
+            extras = {k: jax.device_put(np.asarray(v), self._batch_sharding)
+                      for k, v in extras.items()}
         if do_backprop:
             self._iter_rng, rng = jax.random.split(self._iter_rng)
             self.state, loss, aux = self._train_step(self.state, rng, data, seg, extras)

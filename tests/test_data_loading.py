@@ -102,3 +102,29 @@ def test_prefetch_pipeline(tmp_path):
     batches = [next(pipe) for _ in range(5)]
     assert all(b["data"].shape == (2, 1, 8, 8, 8) for b in batches)
     pipe.stop()
+
+
+def test_prefetch_pipeline_propagates_worker_death():
+    """A poisoned sampler (corrupt npz, bad pkl) must raise at the consumer
+    within one batch — not deadlock __next__ on an empty queue forever."""
+    class PoisonedSampler:
+        def generate_train_batch(self):
+            raise ValueError("corrupt npz")
+
+    pipe = PrefetchPipeline(lambda w: PoisonedSampler(), num_workers=1,
+                            queue_depth=1)
+    with pytest.raises(RuntimeError, match="worker died") as exc_info:
+        next(pipe)
+    assert isinstance(exc_info.value.__cause__, ValueError)
+    pipe.stop()
+
+
+def test_sliding_window_non_oom_error_surfaces_immediately():
+    """The TTA-chunk back-off must only retry on resource exhaustion; any
+    other error (a genuine bug) surfaces on the first attempt."""
+    from multitalent_tpu.ops.sliding_window import _is_oom_error
+
+    assert _is_oom_error(RuntimeError("RESOURCE_EXHAUSTED: while allocating"))
+    assert _is_oom_error(RuntimeError("Out of memory allocating 12345 bytes"))
+    assert not _is_oom_error(ValueError("shapes do not match"))
+    assert not _is_oom_error(RuntimeError("INTERNAL: mosaic lowering failed"))

@@ -63,6 +63,28 @@ def test_device_threshold_packed_matches_host_export():
     assert np.mean(seg != host_seg) < 0.02
 
 
+def test_downscaling_resample_matches_host_no_antialias():
+    """Inverse resample where the original grid is COARSER than the plans'
+    target spacing (downscaling on every axis). jax.image.resize's default
+    antialias=True diverges from the host skimage-order-1 semantics here
+    (max|diff| ~0.2); with antialias=False they agree to float tolerance."""
+    from multitalent_tpu.ops.device_export import _resize_chunk_fn
+
+    k = 4
+    probs = rng.rand(12, 14, 16, k).astype(np.float32)
+    out_shape = (7, 6, 9)
+    host = resample_probabilities_to_cropped_grid(
+        np.moveaxis(probs, -1, 0), _props(out_shape), order=1)
+    dev = np.asarray(_resize_chunk_fn(probs.shape[:-1], out_shape, k)(
+        jnp.asarray(probs), np.int32(0)))
+    np.testing.assert_allclose(np.moveaxis(dev, -1, 0), host, atol=2e-5)
+    # and the argmax built on it matches the host export
+    host_seg = host.argmax(0)
+    dev_seg = np.asarray(device_resample_argmax(jnp.asarray(probs), out_shape,
+                                                chunk_channels=2))
+    assert np.mean(dev_seg != host_seg) < 0.01
+
+
 def test_identity_shape_resample_is_exact():
     probs = rng.rand(5, 6, 7, 4).astype(np.float32)
     seg = np.asarray(device_resample_argmax(jnp.asarray(probs), (5, 6, 7)))
