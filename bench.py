@@ -125,9 +125,22 @@ def pick_device():
             return jax.devices("cpu")[0], False
 
 
+def _force_plain_convs_off_tpu(on_tpu: bool) -> None:
+    """The packed/Pallas conv paths gate on the DEFAULT backend platform; when
+    the default backend is a (possibly dead) tunnelled TPU but this process
+    measures on the host CPU, they would trace Pallas kernels that cannot
+    lower on CPU. Kill-switch them for CPU measurements."""
+    import os
+    if not on_tpu:
+        os.environ["MTTPU_PALLAS_CONV"] = "0"
+        os.environ["MTTPU_PACKED_CONV"] = "0"
+        os.environ["MTTPU_PACKED_TRAIN"] = "0"
+
+
 def _measure(device, on_tpu: bool) -> dict:
     import jax
     import jax.numpy as jnp
+    _force_plain_convs_off_tpu(on_tpu)
     from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
     from __graft_entry__ import _flagship_model
     # representative abdominal CT at MultiTalent target spacing (1.5, 1, 1)
@@ -222,6 +235,7 @@ def _measure_train(device, on_tpu: bool) -> dict:
     from multitalent_tpu.training.train_state import (TrainState,
                                                       make_sgd_optimizer)
 
+    _force_plain_convs_off_tpu(on_tpu)
     patch = (128, 128, 128) if on_tpu else (32, 32, 32)
     batch = 2
     pools = ((2, 2, 2),) * 5

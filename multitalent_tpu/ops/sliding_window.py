@@ -96,21 +96,26 @@ def mirror_combinations(mirror_axes: tuple[int, ...]) -> list[tuple[int, ...]]:
 
 @lru_cache(maxsize=32)
 def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
-                       mirror_axes, use_gaussian, nonlin, tta_chunk):
+                       mirror_axes, use_gaussian, nonlin, tta_chunk,
+                       exact=False):
     """Builds + jits the scan-over-tiles program. apply_fn_id carries the callable
     (wrapped for hashability by the caller)."""
     apply_fn = apply_fn_id.fn
     patch = tuple(int(p) for p in patch_size)
     combos = mirror_combinations(mirror_axes)
     if use_gaussian:
-        # tail weights clamped to 1e-4: the raw map's corner values (~1e-11 for
-        # large patches) underflow the fp16 accumulators; relative to the 1.0
-        # center weight both are zero for blending purposes (the reference's own
-        # fp16 all_in_gpu mode simply breaks at such voxels)
-        gauss = jnp.maximum(
-            jnp.asarray(get_gaussian_importance_map(patch)), 1e-4)[..., None]
+        gauss = jnp.asarray(get_gaussian_importance_map(patch))[..., None]
+        if not exact:
+            # tail weights clamped to 1e-4: the raw map's corner values (~1e-11
+            # for large patches) underflow the fp16 accumulators; relative to
+            # the 1.0 center weight both are zero for blending purposes (the
+            # reference's own fp16 all_in_gpu mode simply breaks at such
+            # voxels). `exact` mode keeps the raw weights (fp32 accumulators).
+            gauss = jnp.maximum(gauss, 1e-4)
     else:
         gauss = jnp.ones(patch, jnp.float32)[..., None]
+    acc_dtype = jnp.float32 if exact else jnp.float16
+    prob_dtype = jnp.float32 if exact else jnp.bfloat16
     chunk = max(1, min(int(tta_chunk), len(combos)))
     n_chunks = (len(combos) + chunk - 1) // chunk
     # (n_chunks, chunk, 3) flip masks; the identity combo pads the last chunk with
@@ -149,12 +154,13 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
                 probs = jax.nn.sigmoid(logits)
             else:
                 probs = logits
-            # probabilities held in bf16, statistics accumulated in fp32: halves
-            # the live prob buffers so a larger TTA batch fits (conv throughput
-            # scales strongly with batch on TPU); the reference's all_in_gpu mode
-            # makes the same precision trade with fp16 (neural_network.py:338-364)
-            unflipped = jax.vmap(flip_sel)(probs.astype(jnp.bfloat16), bits)
-            v = vmask.astype(jnp.bfloat16).reshape(
+            # probabilities held in bf16 (fp32 in `exact` mode), statistics
+            # accumulated in fp32: halves the live prob buffers so a larger TTA
+            # batch fits (conv throughput scales strongly with batch on TPU);
+            # the reference's all_in_gpu mode makes the same precision trade
+            # with fp16 (neural_network.py:338-364)
+            unflipped = jax.vmap(flip_sel)(probs.astype(prob_dtype), bits)
+            v = vmask.astype(prob_dtype).reshape(
                 (vmask.shape[0],) + (1,) * (unflipped.ndim - 1))
             mean_scaled = jnp.sum(unflipped * v, axis=0,
                                   dtype=jnp.float32) / len(combos)
@@ -202,7 +208,8 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         # stores exported softmax as fp16 (segmentation_export.py:116)
         a = acc.astype(jnp.float32)
         c = cnt.astype(jnp.float32)
-        return (a / jnp.where(c == 0, 1.0, c)).astype(jnp.float16)
+        out = a / jnp.where(c == 0, 1.0, c)
+        return out if exact else out.astype(jnp.float16)
 
     # per-chunk flip masks as host arrays: avoids eager device indexing ops (each
     # distinct eager op is its own compiled executable — expensive on remote-
@@ -232,8 +239,8 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             return _run_sharded(params, padded_volume, coords_host, devices,
                                 pack_threshold)
         out_shape = padded_volume.shape[:-1] + (num_classes,)
-        acc = jnp.zeros(out_shape, jnp.float16)
-        cnt = jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float16)
+        acc = jnp.zeros(out_shape, acc_dtype)
+        cnt = jnp.zeros(padded_volume.shape[:-1] + (1,), acc_dtype)
         for cg, wg in _tile_groups(coords_host):
             for j in range(n_chunks):
                 acc, cnt = step(acc, cnt, params, padded_volume, cg,
@@ -254,9 +261,9 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         for dev in devices:
             vols.append(jax.device_put(padded_volume, dev))
             params_d.append(jax.device_put(params, dev))
-            accs.append(jax.device_put(jnp.zeros(out_shape, jnp.float16), dev))
+            accs.append(jax.device_put(jnp.zeros(out_shape, acc_dtype), dev))
             cnts.append(jax.device_put(
-                jnp.zeros(padded_volume.shape[:-1] + (1,), jnp.float16), dev))
+                jnp.zeros(padded_volume.shape[:-1] + (1,), acc_dtype), dev))
         n_dev = len(devices)
         for i, (cg, wg) in enumerate(_tile_groups(coords_host)):
             d = i % n_dev
@@ -269,10 +276,9 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             acc = acc + jax.device_put(accs[d], devices[0]).astype(jnp.float32)
             cnt = cnt + jax.device_put(cnts[d], devices[0]).astype(jnp.float32)
         if pack_threshold is not None:
-            return finalize_packed(acc.astype(jnp.float16),
-                                   cnt.astype(jnp.float16),
+            return finalize_packed(acc.astype(acc_dtype), cnt.astype(acc_dtype),
                                    np.float32(pack_threshold))
-        return finalize(acc.astype(jnp.float16), cnt.astype(jnp.float16))
+        return finalize(acc.astype(acc_dtype), cnt.astype(acc_dtype))
 
     return run
 
@@ -300,7 +306,7 @@ class SlidingWindowPredictor:
                  nonlin: str = "softmax", step_size: float = 0.5,
                  do_mirroring: bool = True, mirror_axes: tuple[int, ...] = (0, 1, 2),
                  use_gaussian: bool = True, tta_chunk: int = 4, device=None,
-                 devices=None):
+                 devices=None, exact: bool | None = None):
         self.device = device   # optional jax.Device pin (default: backend default)
         self.devices = devices  # optional device list: tiles shard round-robin
         self.apply_fn = _HashableFn(apply_fn)
@@ -312,6 +318,14 @@ class SlidingWindowPredictor:
         self.mirror_axes = tuple(mirror_axes) if do_mirroring else ()
         self.use_gaussian = use_gaussian
         self.tta_chunk = tta_chunk
+        if exact is None:
+            import os
+            exact = os.environ.get("MTTPU_SW_EXACT", "0") == "1"
+        # exact: fp32 probabilities + accumulators, unclamped gaussian tail —
+        # bit-comparable to the reference's fp32 CPU path (used by the golden
+        # parity tests); default is the fp16/bf16 production mode (same trade
+        # as the reference's all_in_gpu, neural_network.py:338-364)
+        self.exact = bool(exact)
 
     def _chunk_fitting_memory(self, padded_shape) -> int:
         """Largest TTA chunk whose accumulators + working set fit the device HBM
@@ -375,7 +389,7 @@ class SlidingWindowPredictor:
             runner = _make_tiled_runner(
                 self.apply_fn, self.patch_size, self.in_channels,
                 self.num_classes, self.mirror_axes, self.use_gaussian,
-                self.nonlin, chunk)
+                self.nonlin, chunk, self.exact)
             try:
                 probs = runner(params, vol_dev, coords, devices=self.devices,
                                pack_threshold=pack_threshold)

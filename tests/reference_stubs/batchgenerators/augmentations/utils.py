@@ -49,7 +49,7 @@ def pad_nd_image(image, new_shape=None, mode="constant", kwargs=None,
         return res
     pad_list = np.array(pad_list)
     pad_list[:, 1] = np.array(res.shape) - pad_list[:, 1]
-    slicer = tuple(slice(*i) for i in pad_list)
+    slicer = list(slice(*i) for i in pad_list)  # list: callers concatenate
     return res, slicer
 
 

@@ -1,0 +1,249 @@
+"""Golden parity against the ACTUAL reference code at /root/reference.
+
+Round 1 validated numerics only against re-built torch stand-ins; these tests
+import the reference itself (with a minimal test-only `batchgenerators` stub,
+tests/reference_stubs/) and pin:
+
+  (a) Generic_UNet forward parity through io/torch_convert.py
+      (reference generic_UNet.py:156-401, instantiated exactly as
+      nnUNetTrainerV2.initialize_network does, nnUNetTrainerV2.py:131-161)
+  (b) sliding-window predict_3D output parity (neural_network.py:287-428)
+  (c) MultiTalent compute_loss value parity
+      (MultiTalent_Trainer_DDP.py:544-623, method extracted by AST so the
+      module's SimpleITK-needing import chain is bypassed)
+  (d) the Task100 region tables bit-for-bit
+      (Task100_MultiTalent.py:118-207, extracted by AST)
+
+GenericPreprocessor parity vs the reference SOURCE is not runnable in this
+image: its numerical core is skimage.transform.resize and skimage is not
+installed (the reference module cannot import). Resampling parity is instead
+pinned against scipy full-grid map_coordinates in tests/test_preprocessing.py.
+"""
+import ast
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+STUBS = os.path.join(os.path.dirname(__file__), "reference_stubs")
+
+
+def _enable_reference_imports():
+    for p in (STUBS, REF):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+
+def _extract_assigns(path: str, names):
+    """Exec only the top-level assignments for `names` (literals and
+    comprehensions over earlier ones) — avoids the module's import chain."""
+    tree = ast.parse(open(path).read())
+    ns: dict = {}
+    wanted = set(names)
+    for node in tree.body:
+        if (isinstance(node, ast.Assign) and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)
+                and node.targets[0].id in wanted):
+            code = compile(ast.Module(body=[node], type_ignores=[]), path, "exec")
+            exec(code, ns)
+    ns.pop("__builtins__", None)
+    return ns
+
+
+TASK100 = os.path.join(REF, "nnunet/dataset_conversion/Task100_MultiTalent.py")
+MT_TRAINER = os.path.join(
+    REF, "nnunet/training/network_training/custom_trainers/MultiTalent/"
+         "MultiTalent/MultiTalent_Trainer_DDP.py")
+
+
+def test_region_tables_match_reference_bit_for_bit():
+    from multitalent_tpu.tasks import multitalent as mt
+
+    ref = _extract_assigns(TASK100, [
+        "MultiTalent_task_ids", "MultiTalent_task_label_maps",
+        "MultiTalent_regions", "MultiTalent_region_output_idx_mapping",
+        "MultiTalent_valid_regions"])
+    assert mt.TASK_IDS == ref["MultiTalent_task_ids"]
+    assert mt.TASK_LABEL_MAPS == ref["MultiTalent_task_label_maps"]
+    assert dict(mt.REGIONS) == ref["MultiTalent_regions"]
+    assert list(mt.REGIONS) == list(ref["MultiTalent_regions"])  # channel order
+    assert mt.REGION_OUTPUT_IDX == ref["MultiTalent_region_output_idx_mapping"]
+    assert dict(mt.VALID_REGIONS) == ref["MultiTalent_valid_regions"]
+
+
+def _build_reference_net(base=4, num_classes=3, pools=((2, 2, 2), (2, 2, 2)),
+                         in_channels=1):
+    """Reference Generic_UNet exactly as nnUNetTrainerV2.initialize_network
+    builds it (nnUNetTrainerV2.py:131-161)."""
+    _enable_reference_imports()
+    from torch import nn
+    from nnunet.network_architecture.generic_UNet import Generic_UNet
+    from nnunet.network_architecture.initialization import InitWeights_He
+    from nnunet.utilities.nd_softmax import softmax_helper
+
+    pools = [list(p) for p in pools]
+    kernels = [[3, 3, 3]] * (len(pools) + 1)
+    torch.manual_seed(0)
+    net = Generic_UNet(
+        in_channels, base, num_classes, len(pools), 2, 2,
+        nn.Conv3d, nn.InstanceNorm3d, {"eps": 1e-5, "affine": True},
+        nn.Dropout3d, {"p": 0, "inplace": True},
+        nn.LeakyReLU, {"negative_slope": 1e-2, "inplace": True},
+        True, False, lambda x: x, InitWeights_He(1e-2),
+        pools, kernels, False, True, True)
+    net.inference_apply_nonlin = softmax_helper
+    net.eval()
+    return net
+
+
+def _convert_to_flax(net, pools, base, num_classes, in_channels=1):
+    import jax.numpy as jnp
+    from multitalent_tpu.io.torch_convert import convert_generic_unet_state_dict
+    from multitalent_tpu.models.generic_unet import GenericUNet
+
+    params = convert_generic_unet_state_dict(
+        net.state_dict(), num_pool=len(pools), conv_per_stage=2)
+    model = GenericUNet(
+        input_channels=in_channels, base_num_features=base,
+        num_classes=num_classes, pool_op_kernel_sizes=tuple(map(tuple, pools)),
+        conv_kernel_sizes=((3, 3, 3),) * (len(pools) + 1),
+        deep_supervision=True, dtype=jnp.float32)
+    return model, params
+
+
+def test_generic_unet_forward_parity_vs_reference():
+    pools = ((2, 2, 2), (1, 2, 2))
+    net = _build_reference_net(base=4, num_classes=3, pools=pools)
+    model, params = _convert_to_flax(net, pools, base=4, num_classes=3)
+
+    x = np.random.RandomState(0).randn(1, 1, 8, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = net(torch.from_numpy(x))  # DS tuple, highest res first
+    ours = model.apply({"params": params},
+                       np.moveaxis(x, 1, -1), deep_supervision=True)
+    assert len(ref_outs) == len(ours)
+    for r, o in zip(ref_outs, ours):
+        o_t = np.moveaxis(np.asarray(o, np.float32), -1, 1)
+        np.testing.assert_allclose(o_t, r.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_predict_3d_tiled_parity_vs_reference():
+    """Full sliding-window engine comparison: gaussian-weighted tiled
+    accumulation with 8-way mirror TTA, reference predict_3D
+    (neural_network.py:287-428) vs ops/sliding_window.py."""
+    pools = ((2, 2, 2), (1, 2, 2))
+    patch = (8, 16, 16)
+    net = _build_reference_net(base=4, num_classes=3, pools=pools)
+    model, params = _convert_to_flax(net, pools, base=4, num_classes=3)
+
+    vol = np.random.RandomState(1).randn(1, 11, 20, 26).astype(np.float32)
+    net.do_ds = False  # as nnUNetTrainerV2.validate does before predicting
+    with torch.no_grad():
+        ref_seg, ref_probs = net.predict_3D(
+            vol, do_mirroring=True, mirror_axes=(0, 1, 2),
+            use_sliding_window=True, step_size=0.5, patch_size=patch,
+            regions_class_order=None, use_gaussian=True,
+            pad_border_mode="constant", pad_kwargs=None, all_in_gpu=False,
+            verbose=False, mixed_precision=False)
+
+    from multitalent_tpu.ops.sliding_window import (
+        SlidingWindowPredictor, segmentation_from_probabilities)
+
+    def apply_fn(p, batch):
+        return model.apply({"params": p}, batch, deep_supervision=False)
+
+    predictor = SlidingWindowPredictor(
+        apply_fn, patch, in_channels=1, num_classes=3, nonlin="softmax",
+        step_size=0.5, do_mirroring=True, mirror_axes=(0, 1, 2),
+        use_gaussian=True, exact=True)
+    probs = np.asarray(predictor(params, vol), np.float32)
+
+    np.testing.assert_allclose(probs, ref_probs, atol=2e-4)
+    seg = segmentation_from_probabilities(probs, None)
+    assert np.mean(seg != ref_seg) < 0.002  # near-tie argmax flips only
+
+    # production (fp16/bf16) mode: same trade as the reference's all_in_gpu —
+    # the LABELMAP must still agree except at near-ties
+    fast = SlidingWindowPredictor(
+        apply_fn, patch, in_channels=1, num_classes=3, nonlin="softmax",
+        step_size=0.5, do_mirroring=True, mirror_axes=(0, 1, 2),
+        use_gaussian=True, exact=False)
+    probs_fast = np.asarray(fast(params, vol), np.float32)
+    seg_fast = segmentation_from_probabilities(probs_fast, None)
+    assert np.mean(seg_fast != ref_seg) < 0.02
+
+
+class _IdentityAllGather(torch.autograd.Function):
+    """world-size-1 stand-in for utilities/distributed.awesome_allgather_function
+    (all_gather of one rank concatenates to the input itself)."""
+
+    @staticmethod
+    def forward(ctx, x):
+        return x
+
+    @staticmethod
+    def backward(ctx, g):
+        return g
+
+
+def _load_reference_compute_loss():
+    """Extract MultiTalent_Trainer_DDP.compute_loss by AST (the module's
+    import chain needs SimpleITK, absent here) and bind its globals."""
+    tree = ast.parse(open(MT_TRAINER).read())
+    fn_node = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "compute_loss":
+            fn_node = node
+            break
+    assert fn_node is not None
+    tables = _extract_assigns(TASK100, [
+        "MultiTalent_regions", "MultiTalent_region_output_idx_mapping"])
+    ns = {"torch": torch,
+          "MultiTalent_regions": tables["MultiTalent_regions"],
+          "MultiTalent_region_output_idx_mapping":
+              tables["MultiTalent_region_output_idx_mapping"],
+          "awesome_allgather_function": _IdentityAllGather}
+    exec(compile(ast.Module(body=[fn_node], type_ignores=[]), MT_TRAINER,
+                 "exec"), ns)
+    return ns["compute_loss"]
+
+
+@pytest.mark.parametrize("batch_dice", [True, False])
+def test_multitalent_compute_loss_parity_vs_reference(batch_dice):
+    import jax.numpy as jnp
+    from multitalent_tpu.tasks.multitalent import (NUM_REGIONS,
+                                                   label_region_matrix,
+                                                   valid_region_mask)
+    from multitalent_tpu.training.losses import multitalent_ds_loss
+
+    compute_loss = _load_reference_compute_loss()
+    host = np.random.RandomState(0)
+    shapes = [(2, NUM_REGIONS, 4, 6, 6), (2, NUM_REGIONS, 2, 3, 3)]
+    outputs = [host.randn(*s).astype(np.float32) for s in shapes]
+    targets = [host.randint(0, 48, (s[0], 1, *s[2:])).astype(np.float32)
+               for s in shapes]
+    valid_regions = [("03_liver", "03_cancer"),
+                     ("17_spleen", "17_right_kidney", "17_liver")]
+    weights = [2 / 3, 1 / 3]
+
+    fake_self = types.SimpleNamespace(
+        ce_loss=torch.nn.BCEWithLogitsLoss(),
+        ds_loss_weights=weights, batch_dice=batch_dice)
+    ref_loss, ref_ce, ref_dc = compute_loss(
+        fake_self, [torch.from_numpy(o) for o in outputs],
+        [torch.from_numpy(t) for t in targets], valid_regions)
+
+    vmask = valid_region_mask(list(valid_regions))
+    lrm = jnp.asarray(label_region_matrix())
+    ours_outputs = [jnp.moveaxis(jnp.asarray(o), 1, -1) for o in outputs]
+    ours_targets = [jnp.asarray(t[:, 0]) for t in targets]
+    loss, ce, dc = multitalent_ds_loss(ours_outputs, ours_targets, vmask, lrm,
+                                       weights, batch_dice=batch_dice)
+    np.testing.assert_allclose(float(ce), float(ref_ce), rtol=1e-5)
+    np.testing.assert_allclose(float(dc), float(ref_dc), rtol=1e-5)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
