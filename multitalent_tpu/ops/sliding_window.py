@@ -133,51 +133,89 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             x = jnp.where(bits[ax], jnp.flip(x, axis=ax), x)
         return x
 
+    def _accumulate(acc, cnt, params, padded_volume, z, y, x, weight, bits,
+                    vmask):
+        """One tile x one TTA chunk: batched flipped forward, gaussian-weighted
+        read-modify-write into the accumulators. `weight` zeros out padding
+        tiles; `vmask` zeros out padding combos within the chunk."""
+        tile = jax.lax.dynamic_slice(padded_volume, (z, y, x, 0),
+                                     (*patch, in_channels))
+        batch = jax.vmap(lambda b: flip_sel(tile, b))(bits)
+        logits = apply_fn(params, batch).astype(jnp.float32)
+        if nonlin == "softmax":
+            probs = jax.nn.softmax(logits, axis=-1)
+        elif nonlin == "sigmoid":
+            probs = jax.nn.sigmoid(logits)
+        else:
+            probs = logits
+        # probabilities held in bf16 (fp32 in `exact` mode), statistics
+        # accumulated in fp32: halves the live prob buffers so a larger TTA
+        # batch fits (conv throughput scales strongly with batch on TPU);
+        # the reference's all_in_gpu mode makes the same precision trade
+        # with fp16 (neural_network.py:338-364)
+        unflipped = jax.vmap(flip_sel)(probs.astype(prob_dtype), bits)
+        v = vmask.astype(prob_dtype).reshape(
+            (vmask.shape[0],) + (1,) * (unflipped.ndim - 1))
+        mean_scaled = jnp.sum(unflipped * v, axis=0,
+                              dtype=jnp.float32) / len(combos)
+
+        # accumulators are stored fp16 (the reference's all_in_gpu mode does
+        # the same, neural_network.py:338-364); the add itself runs in fp32
+        contrib = mean_scaled * gauss * weight
+        cur = jax.lax.dynamic_slice(acc, (z, y, x, 0), (*patch, num_classes))
+        acc = jax.lax.dynamic_update_slice(
+            acc, (cur.astype(jnp.float32) + contrib).astype(acc.dtype),
+            (z, y, x, 0))
+        cur_c = jax.lax.dynamic_slice(cnt, (z, y, x, 0), (*patch, 1))
+        new_c = (cur_c.astype(jnp.float32)
+                 + gauss * (weight / len(combos)) * jnp.sum(v))
+        cnt = jax.lax.dynamic_update_slice(cnt, new_c.astype(cnt.dtype),
+                                           (z, y, x, 0))
+        return acc, cnt
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(acc, cnt, params, padded_volume, coords, bits, vmask, weights):
-        """Process TILES_PER_STEP tiles x one TTA-chunk each: batched flipped
-        forward, accumulate the unflipped probability sum into each tile's
-        accumulator region. Tiles run sequentially inside the program (same
-        peak memory as one tile) — batching them per dispatch halves the
-        host->relay round-trips, which cost ~0.1 s each on tunnelled TPUs.
-        Per-tile `weights` zero out padding tiles (odd tile counts)."""
+        """Host-loop step: TILES_PER_STEP tiles x one TTA-chunk per dispatch
+        (used by the multi-device tile-sharding path, where dispatches must
+        interleave across devices, and as the MTTPU_SW_DEVICE_LOOP=0
+        fallback). Tiles run sequentially inside the program — same peak
+        memory as one tile."""
         for t in range(coords.shape[0]):
-            z, y, x = coords[t, 0], coords[t, 1], coords[t, 2]
-            weight = weights[t]
-            tile = jax.lax.dynamic_slice(padded_volume, (z, y, x, 0),
-                                         (*patch, in_channels))
-            batch = jax.vmap(lambda b: flip_sel(tile, b))(bits)
-            logits = apply_fn(params, batch).astype(jnp.float32)
-            if nonlin == "softmax":
-                probs = jax.nn.softmax(logits, axis=-1)
-            elif nonlin == "sigmoid":
-                probs = jax.nn.sigmoid(logits)
-            else:
-                probs = logits
-            # probabilities held in bf16 (fp32 in `exact` mode), statistics
-            # accumulated in fp32: halves the live prob buffers so a larger TTA
-            # batch fits (conv throughput scales strongly with batch on TPU);
-            # the reference's all_in_gpu mode makes the same precision trade
-            # with fp16 (neural_network.py:338-364)
-            unflipped = jax.vmap(flip_sel)(probs.astype(prob_dtype), bits)
-            v = vmask.astype(prob_dtype).reshape(
-                (vmask.shape[0],) + (1,) * (unflipped.ndim - 1))
-            mean_scaled = jnp.sum(unflipped * v, axis=0,
-                                  dtype=jnp.float32) / len(combos)
-
-            # accumulators are stored fp16 (the reference's all_in_gpu mode does
-            # the same, neural_network.py:338-364); the add itself runs in fp32
-            contrib = mean_scaled * gauss * weight
-            cur = jax.lax.dynamic_slice(acc, (z, y, x, 0), (*patch, num_classes))
-            acc = jax.lax.dynamic_update_slice(
-                acc, (cur.astype(jnp.float32) + contrib).astype(acc.dtype),
-                (z, y, x, 0))
-            cur_c = jax.lax.dynamic_slice(cnt, (z, y, x, 0), (*patch, 1))
-            new_c = (cur_c.astype(jnp.float32)
-                     + gauss * (weight / len(combos)) * jnp.sum(v))
-            cnt = jax.lax.dynamic_update_slice(cnt, new_c.astype(cnt.dtype),
-                                               (z, y, x, 0))
+            acc, cnt = _accumulate(acc, cnt, params, padded_volume,
+                                   coords[t, 0], coords[t, 1], coords[t, 2],
+                                   weights[t], bits, vmask)
         return acc, cnt
+
+    _loop_fns: dict = {}
+
+    def _get_loop_fn(n_padded: int):
+        """Whole-volume single-dispatch program: fori_loop over a padded
+        coords buffer, all TTA chunks unrolled inside the body. One dispatch
+        covers every tile — on tunnelled TPUs the per-dispatch round-trip
+        (~0.1 s) otherwise costs ~9 s per (256,320,320) volume across ~90
+        dispatches. Trip count is bucketed (multiples of 8) so a handful of
+        compilations serve all volumes of one padded shape."""
+        if n_padded not in _loop_fns:
+            bits_all = [jnp.asarray(b) for b in bits_list]
+            valid_all = [jnp.asarray(v) for v in valid_list]
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def run_loop(acc, cnt, params, padded_volume, coords_pad,
+                         weights_pad):
+                def body(i, carry):
+                    acc, cnt = carry
+                    z, y, x = (coords_pad[i, 0], coords_pad[i, 1],
+                               coords_pad[i, 2])
+                    for j in range(n_chunks):
+                        acc, cnt = _accumulate(acc, cnt, params, padded_volume,
+                                               z, y, x, weights_pad[i],
+                                               bits_all[j], valid_all[j])
+                    return acc, cnt
+
+                return jax.lax.fori_loop(0, n_padded, body, (acc, cnt))
+
+            _loop_fns[n_padded] = run_loop
+        return _loop_fns[n_padded]
 
     @jax.jit
     def finalize_packed(acc, cnt, threshold):
@@ -235,16 +273,28 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
 
     def run(params, padded_volume, coords_host: np.ndarray, devices=None,
             pack_threshold=None):
+        import os
         if devices is not None and len(devices) > 1:
             return _run_sharded(params, padded_volume, coords_host, devices,
                                 pack_threshold)
         out_shape = padded_volume.shape[:-1] + (num_classes,)
         acc = jnp.zeros(out_shape, acc_dtype)
         cnt = jnp.zeros(padded_volume.shape[:-1] + (1,), acc_dtype)
-        for cg, wg in _tile_groups(coords_host):
-            for j in range(n_chunks):
-                acc, cnt = step(acc, cnt, params, padded_volume, cg,
-                                bits_list[j], valid_list[j], wg)
+        if os.environ.get("MTTPU_SW_DEVICE_LOOP", "1") != "0":
+            n = coords_host.shape[0]
+            n_padded = -(-n // 8) * 8
+            coords_pad = np.concatenate(
+                [coords_host, np.repeat(coords_host[-1:], n_padded - n, 0)])
+            weights_pad = np.zeros(n_padded, np.float32)
+            weights_pad[:n] = 1.0
+            acc, cnt = _get_loop_fn(n_padded)(
+                acc, cnt, params, padded_volume,
+                np.ascontiguousarray(coords_pad), weights_pad)
+        else:
+            for cg, wg in _tile_groups(coords_host):
+                for j in range(n_chunks):
+                    acc, cnt = step(acc, cnt, params, padded_volume, cg,
+                                    bits_list[j], valid_list[j], wg)
         if pack_threshold is not None:
             return finalize_packed(acc, cnt, np.float32(pack_threshold))
         return finalize(acc, cnt)

@@ -50,6 +50,14 @@ def reorient_to_ras(array_zyx: np.ndarray, geom: Geometry):
     return np.ascontiguousarray(out), new_geom
 
 
+def reorient_file_to_ras(path: str) -> None:
+    """In-place closest-canonical (RAS) reorientation of one NIfTI (the
+    nibabel as_closest_canonical pass of Task062_NIHPancreas.py:25-28)."""
+    arr, geom = read_nifti(path)
+    out, new_geom = reorient_to_ras(arr, geom)
+    write_nifti(path, out, new_geom)
+
+
 def reorient_all_images_in_folder_to_ras(folder: str, processes: int = 4) -> None:
     for f in subfiles(folder, suffix=".nii.gz"):
         arr, geom = read_nifti(f)

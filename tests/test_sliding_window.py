@@ -220,3 +220,30 @@ def test_unpack_class_bits_wide():
         packed[..., k // 32] |= bits[..., k].astype(np.uint32) << np.uint32(k % 32)
     out = unpack_class_bits(packed, 47)
     np.testing.assert_array_equal(out, np.moveaxis(bits, -1, 0))
+
+
+def test_device_loop_matches_host_loop(monkeypatch):
+    """The single-dispatch fori_loop runner (default) and the per-group host
+    loop (MTTPU_SW_DEVICE_LOOP=0, used by the sharded path) must agree."""
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
+
+    rngl = np.random.RandomState(7)
+    wk = jnp.asarray(rngl.randn(1, 3).astype(np.float32))
+
+    def apply_fn(params, batch):
+        return jnp.einsum("bzyxc,ck->bzyxk", batch, params)
+
+    vol = rngl.randn(1, 9, 11, 13).astype(np.float32)
+
+    def predict():
+        pred = SlidingWindowPredictor(apply_fn, (6, 6, 6), in_channels=1,
+                                      num_classes=3, nonlin="softmax",
+                                      tta_chunk=4, exact=True)
+        return np.asarray(pred(wk, vol))
+
+    monkeypatch.setenv("MTTPU_SW_DEVICE_LOOP", "1")
+    dev = predict()
+    monkeypatch.setenv("MTTPU_SW_DEVICE_LOOP", "0")
+    host = predict()
+    np.testing.assert_allclose(dev, host, atol=1e-6)
