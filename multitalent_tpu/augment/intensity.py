@@ -74,6 +74,17 @@ def brightness_multiplicative(rng, data, p=0.15, mult_range=(0.75, 1.25)):
     return jnp.where(_bcast_b(apply, data.ndim), out, data)
 
 
+def brightness_additive(rng, data, p=0.15, mu=0.0, sigma=0.1):
+    """Add a per-sample gaussian offset (BrightnessTransform — the ADDITIVE
+    one, used by the DA2/DA5 pipelines via do_additive_brightness)."""
+    b = data.shape[0]
+    k1, k2 = jax.random.split(rng)
+    offs = mu + sigma * jax.random.normal(k1, (b,))
+    apply = jax.random.uniform(k2, (b,)) < p
+    offs = jnp.where(apply, offs, 0.0)
+    return data + _bcast_b(offs, data.ndim)
+
+
 def contrast_augmentation(rng, data, p=0.15, contrast_range=(0.75, 1.25),
                           preserve_range=True):
     b, c = data.shape[0], data.shape[-1]

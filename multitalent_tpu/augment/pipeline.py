@@ -51,7 +51,7 @@ def make_augment_fn(final_patch_size, ds_scales, params, num_modalities: int = 1
         data = jnp.moveaxis(data_bc, 1, -1).astype(jnp.float32)
         seg = seg_b1[:, 0].astype(jnp.float32)
 
-        keys = jax.random.split(rng, 9)
+        keys = jax.random.split(rng, 10)
         if len(final_shape) == 2:
             data, seg = S.spatial_augment_2d(
                 keys[0], data, seg, final_shape, scale_range=scale_range,
@@ -62,7 +62,10 @@ def make_augment_fn(final_patch_size, ds_scales, params, num_modalities: int = 1
                 keys[0], data, seg, final_shape, scale_range=scale_range,
                 rot_x=rot_x, rot_y=rot_y, rot_z=rot_z,
                 p_rot=params.get("p_rot", 0.2), p_scale=params.get("p_scale", 0.2),
-                order_seg=order_seg, dummy_2d=dummy_2d)
+                order_seg=order_seg, dummy_2d=dummy_2d,
+                rot_p_per_axis=float(params.get("rotation_p_per_axis", 1.0)),
+                independent_scale=bool(params.get(
+                    "independent_scale_factor_for_each_axis", False)))
 
         data = I.gaussian_noise(keys[1], data, p=params.get("p_gaussian_noise", 0.1),
                                 variance=tuple(params.get("gaussian_noise_variance", (0, 0.1))))
@@ -72,6 +75,12 @@ def make_augment_fn(final_patch_size, ds_scales, params, num_modalities: int = 1
         data = I.brightness_multiplicative(
             keys[3], data, p=params.get("p_brightness_mult", 0.15),
             mult_range=tuple(params.get("brightness_mult_range", (0.75, 1.25))))
+        if params.get("do_additive_brightness", False):
+            data = I.brightness_additive(
+                keys[9], data,
+                p=params.get("additive_brightness_p_per_sample", 0.15),
+                mu=params.get("additive_brightness_mu", 0.0),
+                sigma=params.get("additive_brightness_sigma", 0.1))
         data = I.contrast_augmentation(
             keys[4], data, p=params.get("p_contrast", 0.15),
             contrast_range=tuple(params.get("contrast_range", (0.75, 1.25))))

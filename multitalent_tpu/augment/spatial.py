@@ -45,13 +45,19 @@ def _warp_volume(vol, coords, order, cval):
     return out
 
 
-@partial(jax.jit, static_argnames=("final_shape", "order_seg", "dummy_2d"))
+@partial(jax.jit, static_argnames=("final_shape", "order_seg", "dummy_2d",
+                                   "independent_scale", "rot_p_per_axis"))
 def spatial_augment(rng, data, seg, final_shape, scale_range=(0.7, 1.4),
                     rot_x=(-0.5236, 0.5236), rot_y=(-0.5236, 0.5236),
                     rot_z=(-0.5236, 0.5236), p_rot=0.2, p_scale=0.2,
-                    order_seg=1, dummy_2d=False):
+                    order_seg=1, dummy_2d=False, rot_p_per_axis=1.0,
+                    independent_scale=False):
     """data (B, Z', Y', X', C) float; seg (B, Z', Y', X') float (labels, -1 border).
-    Returns (data_out (B, *final_shape, C), seg_out (B, *final_shape))."""
+    Returns (data_out (B, *final_shape, C), seg_out (B, *final_shape)).
+
+    `rot_p_per_axis` < 1 keeps each axis' rotation angle only with that
+    probability (SpatialTransform p_rot_per_axis); `independent_scale` samples
+    one zoom factor per spatial axis (independent_scale_factor_for_each_axis)."""
     b = data.shape[0]
     in_shape = data.shape[1:4]
     k_rot, k_scale, k_angles = jax.random.split(rng, 3)
@@ -62,6 +68,12 @@ def spatial_augment(rng, data, seg, final_shape, scale_range=(0.7, 1.4),
     ax = jax.random.uniform(ka_x, (b,), minval=rot_x[0], maxval=rot_x[1])
     ay = jax.random.uniform(ka_y, (b,), minval=rot_y[0], maxval=rot_y[1])
     az = jax.random.uniform(ka_z, (b,), minval=rot_z[0], maxval=rot_z[1])
+    if rot_p_per_axis < 1.0:
+        k_pax = jax.random.fold_in(ka_x, 17)
+        keep = jax.random.uniform(k_pax, (b, 3)) < rot_p_per_axis
+        ax = jnp.where(keep[:, 0], ax, 0.0)
+        ay = jnp.where(keep[:, 1], ay, 0.0)
+        az = jnp.where(keep[:, 2], az, 0.0)
     if dummy_2d:
         # in-plane rotation only: rotate about the z (first) axis
         ay = jnp.zeros_like(ay)
@@ -71,18 +83,20 @@ def spatial_augment(rng, data, seg, final_shape, scale_range=(0.7, 1.4),
     az = jnp.where(do_rot, az, 0.0)
     # batchgenerators samples zoom-in (<1) and zoom-out (>1) with equal probability
     k_s1, k_s2, k_s3 = jax.random.split(k_s, 3)
-    lo = jax.random.uniform(k_s1, (b,), minval=scale_range[0], maxval=1.0)
-    hi = jax.random.uniform(k_s2, (b,), minval=1.0, maxval=scale_range[1])
-    pick_lo = jax.random.uniform(k_s3, (b,)) < 0.5
+    axes = 3 if independent_scale else 1
+    lo = jax.random.uniform(k_s1, (b, axes), minval=scale_range[0], maxval=1.0)
+    hi = jax.random.uniform(k_s2, (b, axes), minval=1.0, maxval=scale_range[1])
+    pick_lo = jax.random.uniform(k_s3, (b, axes)) < 0.5
     scale = jnp.where(pick_lo, lo, hi)
-    scale = jnp.where(do_scale, scale, 1.0)
+    scale = jnp.where(do_scale[:, None], scale, 1.0)
+    scale = jnp.broadcast_to(scale, (b, 3))
 
     grid = _centered_grid(final_shape)  # (3, N)
     center_in = jnp.array([(s - 1) / 2.0 for s in in_shape], jnp.float32)
 
     def warp_one(d, s, a1, a2, a3, sc):
         r = rotation_matrix_3d(a1, a2, a3)
-        coords = (r @ (grid * sc)) + center_in[:, None]
+        coords = (r @ (grid * sc[:, None])) + center_in[:, None]
         d_out = jax.vmap(lambda v: _warp_volume(v, coords, 1, 0.0), in_axes=-1,
                          out_axes=-1)(d)
         s_out = _warp_volume(s, coords, order_seg, -1.0)

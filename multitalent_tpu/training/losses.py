@@ -242,9 +242,11 @@ def dc_and_bce_loss(logits, target_onehot, *, batch_dice=True, smooth=1e-5):
     return bce + dc
 
 
-def mcc_loss(logits, labels, *, apply_nonlin=softmax_helper, smooth: float = 0.0):
+def mcc_loss(logits, labels, *, apply_nonlin=softmax_helper, smooth: float = 0.0,
+             do_bg: bool = True):
     """Matthews correlation coefficient loss (dice_loss.py:198): -MCC computed from
-    voxel-normalized soft confusion entries, averaged over classes."""
+    voxel-normalized soft confusion entries, averaged over classes (background
+    channel dropped when do_bg=False, MCC_loss's batch_mcc/do_bg knob)."""
     probs = apply_nonlin(logits) if apply_nonlin is not None else logits
     voxels = np.prod(probs.shape[1:-1]) * probs.shape[0]
     tp, fp, fn, tn = get_tp_fp_fn_tn(probs, labels, batch_dice=True)
@@ -252,6 +254,8 @@ def mcc_loss(logits, labels, *, apply_nonlin=softmax_helper, smooth: float = 0.0
     nominator = tp * tn - fp * fn + smooth
     denominator = jnp.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)) + smooth
     mcc = nominator / (denominator + 1e-8)
+    if not do_bg:
+        mcc = mcc[1:]
     return -jnp.mean(mcc)
 
 

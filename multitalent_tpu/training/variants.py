@@ -52,9 +52,21 @@ class TrainerV2LossDiceBG(TrainerV2):
         return deep_supervision_loss(outputs, targets, fn, weights), {}
 
 
-@TRAINERS.register(aliases=("nnUNetTrainerV2_Loss_CEandTopK10", "nnUNetTrainerV2_Loss_TopK10"))
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Loss_TopK10",))
+class TrainerV2LossTopKOnly(TrainerV2):
+    """TopK-10% CE only (loss_function/nnUNetTrainerV2_Loss_TopK10.py)."""
+
+    def loss_fn(self, outputs, targets, extras):
+        weights = [float(w) for w in self.ds_loss_weights]
+        return deep_supervision_loss(
+            outputs, targets, partial(L.topk_cross_entropy, k_percent=10.0),
+            weights), {}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Loss_CEandTopK10",
+                            "nnUNetTrainerV2_Loss_DiceTopK10"))
 class TrainerV2LossTopK(TrainerV2):
-    """Dice + TopK-10% CE (loss_variants ...TopK10)."""
+    """Dice + TopK-10% CE (loss_function/nnUNetTrainerV2_Loss_DiceTopK10.py)."""
 
     def loss_fn(self, outputs, targets, extras):
         weights = [float(w) for w in self.ds_loss_weights]
@@ -456,3 +468,436 @@ class TrainerV2CycleAtEnd(TrainerV2):
             peak_value=self.initial_lr)
         schedule = optax.join_schedules([poly, cycle], [main_epochs * ipe])
         return make_sgd_optimizer(schedule, weight_decay=self.weight_decay)
+
+
+# ---------------------------------------------------------------- lr-value ablations
+def _lr_variant(name: str, aliases: tuple[str, ...], lr: float, base=TrainerV2):
+    """SGD-at-fixed-initial-lr family (optimizer_and_lr/nnUNetTrainerV2_SGD_lr*.py
+    and loss_function/*_LR1en3.py): only initial_lr differs."""
+
+    class _T(base):
+        def __init__(self, *args, **kwargs):
+            super().__init__(*args, **kwargs)
+            self.initial_lr = lr
+
+    _T.__name__ = name
+    return TRAINERS.register(aliases=aliases)(_T)
+
+
+TrainerV2SGDlr1en1 = _lr_variant("TrainerV2SGDlr1en1",
+                                 ("nnUNetTrainerV2_SGD_lr1en1",), 1e-1)
+TrainerV2SGDlr1en3 = _lr_variant("TrainerV2SGDlr1en3",
+                                 ("nnUNetTrainerV2_SGD_lr1en3",), 1e-3)
+TrainerV2LossDiceLR1en3 = _lr_variant(
+    "TrainerV2LossDiceLR1en3", ("nnUNetTrainerV2_Loss_Dice_LR1en3",), 1e-3,
+    base=TrainerV2LossDice)
+TrainerV2LossDiceBGLR1en3 = _lr_variant(
+    "TrainerV2LossDiceBGLR1en3", ("nnUNetTrainerV2_Loss_DicewithBG_LR1en3",),
+    1e-3, base=TrainerV2LossDiceBG)
+TrainerV2Rangerlr1en2 = _lr_variant("TrainerV2Rangerlr1en2",
+                                    ("nnUNetTrainerV2_Ranger_lr1en2",), 1e-2,
+                                    base=TrainerV2Ranger)
+TrainerV2Rangerlr3en3 = _lr_variant("TrainerV2Rangerlr3en3",
+                                    ("nnUNetTrainerV2_Ranger_lr3en3",), 3e-3,
+                                    base=TrainerV2Ranger)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Adam_nnUNetTrainerlr",))
+class TrainerV2AdamTrainerLR(TrainerV2Adam):
+    """Adam at nnUNetTrainer's 3e-4 (optimizer_and_lr/nnUNetTrainerV2_Adam_lr_3en4)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.initial_lr = 3e-4
+
+
+# ------------------------------------------------------- ReduceLROnPlateau variants
+class _PlateauMixin:
+    """lr *= 0.2 when the train-loss moving average stops improving (the
+    nnUNetTrainer ReduceLROnPlateau regime: patience 30, eps 1e-3 —
+    nnUNetTrainer.py:265-272), expressed as an explicit per-epoch rule; the
+    optimizer consumes `self._plateau_lr` via a constant schedule."""
+
+    lr_patience = 30
+    lr_threshold = 1e-3
+
+    def initialize_optimizer(self):
+        self._plateau_lr = float(self.initial_lr)
+        self._best_ma = None
+        self._worse_epochs = 0
+        return self._make_plateau_optimizer()
+
+    def maybe_update_lr(self) -> None:
+        ma = self.train_loss_MA
+        if ma is None:
+            return
+        if self._best_ma is None or ma < self._best_ma - self.lr_threshold:
+            self._best_ma = ma
+            self._worse_epochs = 0
+        else:
+            self._worse_epochs += 1
+        if self._worse_epochs > self.lr_patience:
+            self._plateau_lr = max(self._plateau_lr * 0.2, 1e-6)
+            self._worse_epochs = 0
+            self.print_to_log_file(f"plateau: reducing lr to {self._plateau_lr}")
+            # swap the optimizer's schedule in place; momentum state persists
+            self.state = self.state.replace(tx=self._make_plateau_optimizer())
+
+    def current_lr(self) -> float:
+        return self._plateau_lr
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_SGD_ReduceOnPlateau",))
+class TrainerV2SGDPlateau(_PlateauMixin, TrainerV2):
+    def _make_plateau_optimizer(self):
+        from multitalent_tpu.training.train_state import make_sgd_optimizer
+        return make_sgd_optimizer(make_constant_schedule(self._plateau_lr),
+                                  weight_decay=self.weight_decay)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Adam_ReduceOnPlateau",))
+class TrainerV2AdamPlateau(_PlateauMixin, TrainerV2):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.initial_lr = 3e-4
+
+    def _make_plateau_optimizer(self):
+        return make_adam_optimizer(make_constant_schedule(self._plateau_lr),
+                                   weight_decay=self.weight_decay)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_SGD_fixedSchedule2",))
+class TrainerV2FixedSchedule2(TrainerV2):
+    """Stepped polyLR: restart poly segments at epochs 0/700/900 (optimizer_and_lr/
+    nnUNetTrainerV2_SGD_fixedSchedule2.py: poly within [0,700), then [700,900)
+    from lr(700), then [900,1000) from lr(900))."""
+
+    def current_lr(self) -> float:
+        from multitalent_tpu.training.schedules import poly_lr
+        ep = self.epoch
+        if ep < 700:
+            return poly_lr(ep, self.max_num_epochs, self.initial_lr)
+        if ep < 900:
+            return poly_lr(ep, self.max_num_epochs,
+                           poly_lr(700, self.max_num_epochs, self.initial_lr))
+        return poly_lr(ep, self.max_num_epochs,
+                       poly_lr(900, self.max_num_epochs, self.initial_lr))
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_reduceMomentumDuringTraining",))
+class TrainerV2ReduceMomentum(TrainerV2):
+    """Momentum 0.99 -> 0.9 linearly over epochs 800-1000 (optimizer_and_lr/
+    nnUNetTrainerV2_reduceMomentumDuringTraining.py:25-42). The momentum is an
+    optax hyperparameter injected per epoch; trace state carries over."""
+
+    def initialize_optimizer(self):
+        import optax
+        from multitalent_tpu.training.schedules import make_poly_schedule
+        schedule = make_poly_schedule(self.initial_lr, self.max_num_epochs,
+                                      self.num_batches_per_epoch)
+        self._mom_tx = optax.inject_hyperparams(
+            lambda momentum: optax.chain(
+                optax.add_decayed_weights(self.weight_decay),
+                optax.clip_by_global_norm(12.0),
+                optax.trace(decay=momentum, nesterov=True),
+                optax.scale_by_learning_rate(schedule)))(momentum=0.99)
+        return self._mom_tx
+
+    def _current_momentum(self) -> float:
+        if self.epoch > 800:
+            return 0.99 - (0.99 - 0.9) / 200 * (self.epoch - 800)
+        return 0.99
+
+    def maybe_update_lr(self) -> None:
+        super().maybe_update_lr()
+        m = self._current_momentum()
+        try:
+            self.state.opt_state.hyperparams["momentum"] = jnp.asarray(m)
+            self.print_to_log_file(f"current momentum {m:.4f}")
+        except Exception:
+            pass
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_momentum09in2D",))
+class TrainerV2Momentum09in2D(TrainerV2):
+    """momentum 0.9 for 2D configs only (optimizer_and_lr/
+    nnUNetTrainerV2_momentum09in2D.py)."""
+
+    def initialize_optimizer(self):
+        from multitalent_tpu.training.schedules import make_poly_schedule
+        from multitalent_tpu.training.train_state import make_sgd_optimizer
+        schedule = make_poly_schedule(self.initial_lr, self.max_num_epochs,
+                                      self.num_batches_per_epoch)
+        momentum = 0.9 if not self.threeD else 0.99
+        return make_sgd_optimizer(schedule, momentum=momentum,
+                                  weight_decay=self.weight_decay)
+
+
+# -------------------------------------------------------------- more loss variants
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Loss_CEGDL",))
+class TrainerV2LossCEGDL(TrainerV2):
+    """GDL + CE (loss_function/nnUNetTrainerV2_Loss_CEGDL.py)."""
+
+    def loss_fn(self, outputs, targets, extras):
+        weights = [float(w) for w in self.ds_loss_weights]
+
+        def fn(o, t):
+            return L.gdl_loss(o, t) + L.robust_cross_entropy(o, t)
+
+        return deep_supervision_loss(outputs, targets, fn, weights), {}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Loss_DiceCE_noSmooth",))
+class TrainerV2LossDiceCENoSmooth(TrainerV2):
+    """DC+CE with dice smooth 0 (loss_function/nnUNetTrainerV2_Loss_DiceCE_noSmooth.py)."""
+
+    def loss_fn(self, outputs, targets, extras):
+        weights = [float(w) for w in self.ds_loss_weights]
+        fn = partial(L.dc_and_ce_loss, batch_dice=self.batch_dice, smooth=0.0)
+        return deep_supervision_loss(outputs, targets, fn, weights), {}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Loss_MCCnoBG",))
+class TrainerV2LossMCCnoBG(TrainerV2):
+    def loss_fn(self, outputs, targets, extras):
+        weights = [float(w) for w in self.ds_loss_weights]
+        fn = partial(L.mcc_loss, do_bg=False)
+        return deep_supervision_loss(outputs, targets, fn, weights), {}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Loss_Dice_squared",))
+class TrainerV2LossDiceSquared(TrainerV2):
+    """Squared-denominator dice only (loss_function/...Loss_Dice_squared)."""
+
+    def loss_fn(self, outputs, targets, extras):
+        weights = [float(w) for w in self.ds_loss_weights]
+        fn = partial(L.squared_dice_loss, batch_dice=self.batch_dice, do_bg=False)
+        return deep_supervision_loss(outputs, targets, fn, weights), {}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_graduallyTransitionFromCEToDice",))
+class TrainerV2CEtoDice(TrainerV2):
+    """CE for 500 epochs, linear CE->Dice blend to 750, Dice-only after
+    (loss_function/nnUNetTrainerV2_graduallyTransitionFromCEToDice.py:30-45).
+    The weights enter the jitted step as ARRAYS via batch_extras, so the
+    per-epoch change needs no re-jit."""
+
+    def _ce_dice_weights(self):
+        ep = min(self.epoch, self.max_num_epochs)
+        if ep <= 500:
+            return 2.0, 0.0
+        if ep <= 750:
+            w = 2.0 / 250 * (ep - 500)
+            return 2.0 - w, w
+        return 0.0, 2.0
+
+    def batch_extras(self, batch):
+        w_ce, w_dc = self._ce_dice_weights()
+        return {"w_ce": np.float32(w_ce), "w_dc": np.float32(w_dc)}
+
+    def loss_fn(self, outputs, targets, extras):
+        weights = [float(w) for w in self.ds_loss_weights]
+
+        def fn(o, t):
+            dc = L.soft_dice_loss(o, t, batch_dice=self.batch_dice, do_bg=False)
+            ce = L.robust_cross_entropy(o, t)
+            return extras["w_ce"] * ce + extras["w_dc"] * dc
+
+        return deep_supervision_loss(outputs, targets, fn, weights), {}
+
+
+# ---------------------------------------------------------------- dice-mode forcing
+@TRAINERS.register(aliases=("nnUNetTrainerV2_ForceBD",))
+class TrainerV2ForceBD(TrainerV2):
+    """Force batch dice regardless of the configuration default
+    (loss_function/nnUNetTrainerV2_ForceBD.py)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.batch_dice = True
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_ForceSD",))
+class TrainerV2ForceSD(TrainerV2):
+    """Force sample dice (loss_function/nnUNetTrainerV2_ForceSD.py)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.batch_dice = False
+
+
+# ------------------------------------------------------------------- DA variants
+@TRAINERS.register(aliases=("nnUNetTrainerV2_DA2",))
+class TrainerV2DA2(TrainerV2):
+    """DA2 (data_augmentation/nnUNetTrainerV2_DA2.py): independent per-axis
+    scale, per-axis rotation probability, additive brightness."""
+
+    def setup_DA_params(self) -> None:
+        super().setup_DA_params()
+        self.data_aug_params["independent_scale_factor_for_each_axis"] = True
+        self.data_aug_params["rotation_p_per_axis"] = 0.5 if self.threeD else 1.0
+        self.data_aug_params["do_additive_brightness"] = True
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_independentScalePerAxis",))
+class TrainerV2IndependentScale(TrainerV2):
+    def setup_DA_params(self) -> None:
+        super().setup_DA_params()
+        self.data_aug_params["independent_scale_factor_for_each_axis"] = True
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_DA3_BN",))
+class TrainerV2DA3BN(TrainerV2DA5):
+    """DA3 pipeline over a batchnorm network (data_augmentation/
+    nnUNetTrainerV2_DA3.py BN subclass)."""
+
+    def network_overrides(self) -> dict:
+        return {**super().network_overrides(), "norm": "batch"}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_ResencUNet_DA3_BN",))
+class TrainerV2ResencDA3BN(TrainerV2ResencUNetDA3):
+    def network_overrides(self) -> dict:
+        return {**super().network_overrides(), "norm": "batch"}
+
+
+# --------------------------------------------------- ensembling copies + misc aliases
+# nnUNetTrainerV2_copyX: identical trainers re-registered so k-fold ensembles can
+# be built from independent runs (copies/nnUNetTrainerV2_copies.py). fp16: AMP is
+# the default here (bf16 on TPU), so it aliases the production trainer.
+TRAINERS.register(aliases=("nnUNetTrainerV2_copy1", "nnUNetTrainerV2_copy2",
+                           "nnUNetTrainerV2_copy3", "nnUNetTrainerV2_copy4",
+                           "nnUNetTrainerV2_fp16"))(TrainerV2)
+
+
+# -------------------------------------------------------------- benchmark combos
+from multitalent_tpu.training.trainers import (TrainerV2_2epochs,  # noqa: E402
+                                               TrainerV2_5epochs,
+                                               TrainerV2_dummyLoad)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_2epochs_dummyLoad",))
+class TrainerV2_2epochsDummyLoad(TrainerV2_dummyLoad):
+    """benchmarking/nnUNetTrainerV2_2epochs.py dummyLoad combo."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_num_epochs = 2
+
+
+class _NoDSMixin:
+    """Disable deep supervision (benchmarking *noDS variants)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.deep_supervision = False
+
+    def setup_DA_params(self) -> None:
+        super().setup_DA_params()
+        self.deep_supervision_scales = [[1.0, 1.0, 1.0]]
+
+    def network_overrides(self) -> dict:
+        return {**super().network_overrides(), "deep_supervision": False}
+
+    def loss_fn(self, outputs, targets, extras):
+        outputs = [outputs] if not isinstance(outputs, (list, tuple)) else outputs
+        targets = [targets] if not isinstance(targets, (list, tuple)) else targets
+        return deep_supervision_loss(
+            outputs, targets, L.robust_cross_entropy
+            if self._ce_only else partial(L.dc_and_ce_loss,
+                                          batch_dice=self.batch_dice),
+            [1.0]), {}
+
+    def eval_stats(self, outputs, targets, extras):
+        outputs = [outputs] if not isinstance(outputs, (list, tuple)) else outputs
+        targets = [targets] if not isinstance(targets, (list, tuple)) else targets
+        return super().eval_stats(outputs, targets, extras)
+
+    _ce_only = False
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_5epochs_noDS",))
+class TrainerV2_5epochsNoDS(_NoDSMixin, TrainerV2_5epochs):
+    pass
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_5epochs_CEnoDS",))
+class TrainerV2_5epochsCEnoDS(_NoDSMixin, TrainerV2_5epochs):
+    _ce_only = True
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_5epochs_dummyLoadCEnoDS",))
+class TrainerV2_5epochsDummyCEnoDS(_NoDSMixin, TrainerV2_dummyLoad):
+    _ce_only = True
+
+
+# DDP benchmark names: data parallelism is the same SPMD trainer here
+TRAINERS.register(aliases=("nnUNetTrainerV2_DDP_5epochs",))(TrainerV2_5epochs)
+TRAINERS.register(aliases=("nnUNetTrainerV2_DDP_5epochs_dummyLoad",))(TrainerV2_dummyLoad)
+
+
+# ------------------------------------------------------------- transformer variants
+@TRAINERS.register(aliases=("nnUNetTrainerV2_swinunetr_adam_ddp",))
+class TrainerV2SwinUNETR(TrainerV2):
+    """Plans-driven SwinUNETR under the standard DC+CE objective, Adam 1e-3,
+    no deep supervision (transformers/nnUNetTrainerV2_SwinUNETR_ddp.py:53-120)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.initial_lr = 1e-3
+        self.deep_supervision = False
+
+    def setup_DA_params(self) -> None:
+        super().setup_DA_params()
+        self.deep_supervision_scales = [[1.0, 1.0, 1.0]]
+
+    def initialize(self, training: bool = True, force_load_plans: bool = False) -> None:
+        super().initialize(training, force_load_plans)
+        self.ds_loss_weights = np.array([1.0])
+
+    def initialize_optimizer(self):
+        from multitalent_tpu.training.schedules import make_poly_schedule
+        schedule = make_poly_schedule(self.initial_lr, self.max_num_epochs,
+                                      self.num_batches_per_epoch)
+        return make_adam_optimizer(schedule, weight_decay=self.weight_decay)
+
+    def initialize_network(self) -> None:
+        from multitalent_tpu.models.swin_unetr import SwinUNETR
+        self.network = SwinUNETR(
+            in_channels=self.num_input_channels, out_channels=self.num_classes,
+            feature_size=48,
+            dtype=jnp.bfloat16 if self.fp16 else jnp.float32)
+        self.inference_nonlin = "softmax"
+
+    def _as_lists(self, outputs, targets):
+        outputs = [outputs] if not isinstance(outputs, (list, tuple)) else outputs
+        targets = [targets] if not isinstance(targets, (list, tuple)) else targets
+        return outputs, targets
+
+    def loss_fn(self, outputs, targets, extras):
+        outputs, targets = self._as_lists(outputs, targets)
+        fn = partial(L.dc_and_ce_loss, batch_dice=self.batch_dice)
+        return deep_supervision_loss(outputs, targets, fn, [1.0]), {}
+
+    def eval_stats(self, outputs, targets, extras):
+        outputs, targets = self._as_lists(outputs, targets)
+        return super().eval_stats(outputs, targets, extras)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_swinunetr_adam_ddp_lr5e4",))
+class TrainerV2SwinUNETRlr5e4(TrainerV2SwinUNETR):
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.initial_lr = 5e-4
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_cycleAtEnd2",))
+class TrainerV2CycleAtEnd2(TrainerV2CycleAtEnd):
+    """1200 epochs: normal poly schedule for 1000, then one 200-epoch cosine
+    cycle (optimizer_and_lr/nnUNetTrainerV2_cycleAtEnd.py:66-92)."""
+
+    cycle_epochs = 200
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_num_epochs = 1200

@@ -139,3 +139,62 @@ class TrainerV2WarmupSegHeads(TrainerV2WarmupLR):
         self.state = self.state.replace(params=load_pretrained_weights(
             self.state.params, pretrained_params))
         self.print_to_log_file("loaded pretrained backbone weights")
+
+
+TRAINERS.register(aliases=("nnUNetTrainerV2_warmup",))(TrainerV2WarmupLR)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_warmupsegheads_resenc",))
+class TrainerV2WarmupSegHeadsResenc(TrainerV2WarmupSegHeads):
+    """Head-warmup schedule over the residual-encoder UNet
+    (nnUNetTrainerV2_warmup.py:441-...)."""
+
+    def setup_DA_params(self) -> None:
+        from multitalent_tpu.training.trainers import TrainerV2ResencUNet
+        TrainerV2ResencUNet.setup_DA_params(self)
+
+    def initialize_network(self) -> None:
+        from multitalent_tpu.training.trainers import TrainerV2ResencUNet
+        TrainerV2ResencUNet.initialize_network(self)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_warmupsegheads_swinunetr_adam_lr5e4_ddp",))
+class TrainerV2WarmupSegHeadsSwin(TrainerV2WarmupSegHeads):
+    """Head-warmup over SwinUNETR with Adam 5e-4 in phase 2
+    (nnUNetTrainerV2_warmup.py swinunetr variant)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.initial_lr = 5e-4
+        self.deep_supervision = False
+
+    def setup_DA_params(self) -> None:
+        super().setup_DA_params()
+        self.deep_supervision_scales = [[1.0, 1.0, 1.0]]
+
+    def initialize(self, training: bool = True, force_load_plans: bool = False) -> None:
+        super().initialize(training, force_load_plans)
+        import numpy as _np
+        self.ds_loss_weights = _np.array([1.0])
+
+    def initialize_network(self) -> None:
+        from multitalent_tpu.training.variants import TrainerV2SwinUNETR
+        TrainerV2SwinUNETR.initialize_network(self)
+
+    def initialize_optimizer(self):
+        if self.optimizer_phase == 1:
+            return super().initialize_optimizer()
+        from multitalent_tpu.training.schedules import make_poly_schedule
+        from multitalent_tpu.training.train_state import make_adam_optimizer
+        return make_adam_optimizer(
+            make_poly_schedule(self.initial_lr, self.max_num_epochs,
+                               self.num_batches_per_epoch),
+            weight_decay=self.weight_decay)
+
+    def loss_fn(self, outputs, targets, extras):
+        from multitalent_tpu.training.variants import TrainerV2SwinUNETR
+        return TrainerV2SwinUNETR.loss_fn(self, outputs, targets, extras)
+
+    def eval_stats(self, outputs, targets, extras):
+        from multitalent_tpu.training.variants import TrainerV2SwinUNETR
+        return TrainerV2SwinUNETR.eval_stats(self, outputs, targets, extras)
