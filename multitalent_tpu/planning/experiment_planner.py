@@ -491,3 +491,165 @@ class ExperimentPlanner3ConvPerStage(ExperimentPlanner3Dv21):
         self.conv_per_stage = 3
         self.plans_fname = os.path.join(preprocessed_output_folder,
                                         "MTTPUPlansv2.1_3cps_plans_3D.pkl")
+
+
+@PLANNERS.register(aliases=("ExperimentPlanner3D_v21_16GB",))
+class ExperimentPlanner16GB(ExperimentPlanner3Dv21):
+    """16GB-card memory target (alternative_experiment_planning/
+    experiment_planner_baseline_3DUNet_v21_16GB.py:66 — ref * 16/8.5)."""
+
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.data_identifier = "MTTPUData_plans_v2.1_verybig"
+        self.plans_fname = os.path.join(preprocessed_output_folder,
+                                        "MTTPUPlansv2.1_verybig_plans_3D.pkl")
+
+    def memory_budget(self) -> float:
+        return super().memory_budget() * 16.0 / 8.5
+
+
+@PLANNERS.register(aliases=("ExperimentPlanner3D_v22",))
+class ExperimentPlanner3Dv22(ExperimentPlanner3Dv21):
+    """v2.2 (experiment_planner_baseline_3DUNet_v22.py): the v21 target-spacing
+    heuristic under its own data identifier/plans name so both preprocessed
+    sets can coexist."""
+
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.data_identifier = "MTTPUData_plans_v2.2"
+        self.plans_fname = os.path.join(preprocessed_output_folder,
+                                        "MTTPUPlansv2.2_plans_3D.pkl")
+
+
+@PLANNERS.register(aliases=("ExperimentPlanner3D_v23",))
+class ExperimentPlanner3Dv23(ExperimentPlanner3Dv21):
+    """v2.3 (experiment_planner_baseline_3DUNet_v23.py): linear (order-1) data
+    resampling via Preprocessor3DDifferentResampling."""
+
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.data_identifier = "MTTPUData_plans_v2.3"
+        self.plans_fname = os.path.join(preprocessed_output_folder,
+                                        "MTTPUPlansv2.3_plans_3D.pkl")
+        self.preprocessor_name = "Preprocessor3DDifferentResampling"
+
+
+@PLANNERS.register(aliases=("ExperimentPlannerCT2",))
+class ExperimentPlannerCT2(ExperimentPlannerBase):
+    """CT2 normalization ablation (normalization/experiment_planner_3DUNet_CT2.py):
+    clip to the global foreground percentile range, then PER-CASE z-score."""
+
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.data_identifier = "MTTPU_CT2"
+        self.plans_fname = os.path.join(preprocessed_output_folder,
+                                        "MTTPUPlansCT2_plans_3D.pkl")
+
+    def determine_normalization_scheme(self) -> dict:
+        modalities = self.dataset_properties["modalities"]
+        return {i: ("CT2" if modalities[i].lower() == "ct" else "nonCT")
+                for i in range(len(modalities))}
+
+
+@PLANNERS.register(aliases=("ExperimentPlannernonCT",))
+class ExperimentPlannerNonCT(ExperimentPlannerBase):
+    """nonCT normalization everywhere, even for CT images
+    (normalization/experiment_planner_3DUNet_nonCT.py)."""
+
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.data_identifier = "MTTPU_nonCT"
+        self.plans_fname = os.path.join(preprocessed_output_folder,
+                                        "MTTPUPlansnonCT_plans_3D.pkl")
+
+    def determine_normalization_scheme(self) -> dict:
+        return {i: "nonCT"
+                for i in range(len(self.dataset_properties["modalities"]))}
+
+
+@PLANNERS.register(aliases=("ExperimentPlannerTargetSpacingForAnisoAxis",))
+class ExperimentPlannerAnisoAxisSpacing(ExperimentPlannerBase):
+    """Baseline planner with the v21 aniso-axis 10th-percentile spacing rule
+    (target_spacing/experiment_planner_baseline_3DUNet_targetSpacingForAnisoAxis.py;
+    note its aniso-voxels test uses max(other_sizes), unlike v21's min)."""
+
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.data_identifier = "MTTPUData_targetSpacingForAnisoAxis"
+        self.plans_fname = os.path.join(
+            preprocessed_output_folder,
+            "MTTPUPlanstargetSpacingForAnisoAxis_plans_3D.pkl")
+
+    def get_target_spacing(self) -> np.ndarray:
+        spacings = self.dataset_properties["all_spacings"]
+        sizes = self.dataset_properties["all_sizes"]
+        target = np.percentile(np.vstack(spacings), self.target_spacing_percentile, 0)
+        target_size = np.percentile(np.vstack(sizes), self.target_spacing_percentile, 0)
+        worst = int(np.argmax(target))
+        others = [i for i in range(len(target)) if i != worst]
+        other_spacings = [target[i] for i in others]
+        other_sizes = [target_size[i] for i in others]
+        if (target[worst] > self.anisotropy_threshold * max(other_spacings)
+                and target_size[worst] * self.anisotropy_threshold < max(other_sizes)):
+            target[worst] = np.percentile(np.vstack(spacings)[:, worst], 10)
+        return target
+
+
+@PLANNERS.register(aliases=("ExperimentPlanner3D_v21_customTargetSpacing_2x2x2",))
+class ExperimentPlannerTrgSp2x2x2(ExperimentPlanner3Dv21):
+    """Fixed (2,2,2)mm target spacing (target_spacing/..._customTargetSpacing_2x2x2.py)."""
+
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.data_identifier = "MTTPUData_plans_v2.1_trgSp_2x2x2"
+        self.plans_fname = os.path.join(preprocessed_output_folder,
+                                        "MTTPUPlansv2.1_trgSp_2x2x2_plans_3D.pkl")
+
+    def get_target_spacing(self) -> np.ndarray:
+        return np.array([2.0, 2.0, 2.0])
+
+
+@PLANNERS.register(aliases=("ExperimentPlanner3D_v21_noResampling",))
+class ExperimentPlannerNoResampling(ExperimentPlanner3Dv21):
+    """Keep every case at its native spacing
+    (target_spacing/experiment_planner_baseline_3DUNet_v21_noResampling.py);
+    single stage, PreprocessorFor3D_NoResampling."""
+
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.data_identifier = "MTTPUData_noRes_plans_v2.1"
+        self.plans_fname = os.path.join(preprocessed_output_folder,
+                                        "MTTPUPlansv2.1_noRes_plans_3D.pkl")
+        self.preprocessor_name = "PreprocessorFor3D_NoResampling"
+        # no 3d_lowres stage when data is not resampled
+        self.how_much_of_a_patient_must_the_network_see_at_stage0 = 10 ** 9
+
+
+@PLANNERS.register(aliases=("ExperimentPlannerAllConv3x3",))
+class ExperimentPlannerAllConv3x3(ExperimentPlannerBase):
+    """All conv kernels forced to 3x3x3, no 1-kernels for anisotropic stages
+    (pooling_and_convs/experiment_planner_baseline_3DUNet_allConv3x3.py)."""
+
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.plans_fname = os.path.join(preprocessed_output_folder,
+                                        "MTTPUPlansallConv3x3_plans_3D.pkl")
+
+    def get_properties_for_stage(self, *args, **kwargs) -> dict:
+        plan = super().get_properties_for_stage(*args, **kwargs)
+        plan["conv_kernel_sizes"] = [[3, 3, 3]
+                                     for _ in plan["conv_kernel_sizes"]]
+        return plan
+
+
+@PLANNERS.register(aliases=("ExperimentPlannerPoolBasedOnSpacing",))
+class ExperimentPlannerPoolBasedOnSpacing(ExperimentPlannerBase):
+    """Baseline planner with the spacing-aware pooling topology
+    (pooling_and_convs/experiment_planner_baseline_3DUNet_poolBasedOnSpacing.py)."""
+
+    topology = staticmethod(nt.get_pool_and_conv_props)
+
+    def __init__(self, folder_with_cropped_data, preprocessed_output_folder):
+        super().__init__(folder_with_cropped_data, preprocessed_output_folder)
+        self.plans_fname = os.path.join(preprocessed_output_folder,
+                                        "MTTPUPlanspoolBasedOnSpacing_plans_3D.pkl")

@@ -185,3 +185,16 @@ class PreprocessorFor2D(GenericPreprocessor):
         target[0] = float(original_spacing_transposed[0])
         return super().resample_and_normalize(data, target, properties, seg,
                                               force_separate_z=force_separate_z)
+
+
+@PREPROCESSORS.register(aliases=("PreprocessorFor3D_NoResampling",))
+class PreprocessorNoResampling(GenericPreprocessor):
+    """Keeps the native grid: the 'target spacing' is replaced per case by the
+    case's own (transposed) original spacing so the resampler is an identity
+    (preprocessing.py PreprocessorFor3D_NoResampling parity)."""
+
+    def resample_and_normalize(self, data, target_spacing, properties, seg=None,
+                               force_separate_z=None):
+        native = np.array(properties["original_spacing"])[self.transpose_forward]
+        return super().resample_and_normalize(data, list(native), properties,
+                                              seg, force_separate_z)
