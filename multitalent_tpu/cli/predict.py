@@ -36,6 +36,10 @@ def main(argv=None) -> None:
     parser.add_argument("--num_parts", type=int, default=1)
     parser.add_argument("--step_size", type=float, default=0.5)
     parser.add_argument("-chk", default="model_final_checkpoint")
+    parser.add_argument("--mode", default="normal",
+                        choices=["normal", "fast", "fastest"],
+                        help="fast/fastest skip softmax export (predict_simple"
+                             ".py --mode parity)")
     args = parser.parse_args(argv)
 
     task = resolve_task_name(args.task_name)
@@ -56,7 +60,7 @@ def main(argv=None) -> None:
         part_id=args.part_id, num_parts=args.num_parts,
         tta=not args.disable_tta,
         overwrite_existing=bool(args.overwrite_existing),
-        step_size=args.step_size, checkpoint_name=args.chk)
+        step_size=args.step_size, checkpoint_name=args.chk, mode=args.mode)
 
 
 if __name__ == "__main__":

@@ -71,9 +71,15 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
                   do_tta: bool = True, overwrite_existing: bool = True,
                   all_in_gpu: bool = False, step_size: float = 0.5,
                   checkpoint_name: str = "model_final_checkpoint",
-                  region_class_order=None, export_region_niftis: bool = False):
+                  region_class_order=None, export_region_niftis: bool = False,
+                  fast_mode: str | None = None):
     """Predict a list of cases with a fold ensemble (predict_cases parity,
-    predict.py:131-292)."""
+    predict.py:131-292). fast_mode: None (full), "fast" (no softmax export,
+    device argmax — predict_cases_fast, predict.py:294) or "fastest"
+    (argmax at network grid, nearest-resampled labelmap —
+    predict_cases_fastest, predict.py:442)."""
+    assert fast_mode in (None, "fast", "fastest")
+    assert not (fast_mode and save_npz), "fast modes never materialize softmax"
     assert len(list_of_lists) == len(output_filenames)
 
     if not overwrite_existing:
@@ -144,6 +150,10 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
                 probs_c, out_shape, threshold=0.5 * len(all_fold_params)))
         if region_class_order is not None:
             seg = segmentation_from_regions_packed(packed, region_class_order)
+        elif fast_mode == "fastest":
+            from multitalent_tpu.ops.device_export import (
+                device_argmax_resample_nearest)
+            seg = np.asarray(device_argmax_resample_nearest(probs_c, out_shape))
         else:
             # softmax model: the main labelmap is ALWAYS argmax (matching the
             # host path, save_segmentation_nifti_from_softmax with
@@ -207,6 +217,40 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
     preprocess_pool.shutdown()
 
 
+def predict_cases_fast(model, list_of_lists, output_filenames, folds,
+                       num_threads_preprocessing: int = 2,
+                       num_threads_nifti_save: int = 2, do_tta: bool = True,
+                       overwrite_existing: bool = False, step_size: float = 0.5,
+                       checkpoint_name: str = "model_final_checkpoint"):
+    """predict_cases_fast parity (predict.py:294-440): no softmax is ever
+    materialized — fold-summed probabilities argmax straight to a labelmap
+    (here: resampled + argmaxed on device, only uint8 labels cross the link)."""
+    return predict_cases(model, list_of_lists, output_filenames, folds,
+                         save_npz=False,
+                         num_threads_preprocessing=num_threads_preprocessing,
+                         num_threads_nifti_save=num_threads_nifti_save,
+                         do_tta=do_tta, overwrite_existing=overwrite_existing,
+                         step_size=step_size, checkpoint_name=checkpoint_name,
+                         fast_mode="fast")
+
+
+def predict_cases_fastest(model, list_of_lists, output_filenames, folds,
+                          num_threads_preprocessing: int = 2,
+                          num_threads_nifti_save: int = 2, do_tta: bool = True,
+                          overwrite_existing: bool = False,
+                          step_size: float = 0.5,
+                          checkpoint_name: str = "model_final_checkpoint"):
+    """predict_cases_fastest parity (predict.py:442-565): argmax at the
+    network grid, then nearest-resample the single labelmap."""
+    return predict_cases(model, list_of_lists, output_filenames, folds,
+                         save_npz=False,
+                         num_threads_preprocessing=num_threads_preprocessing,
+                         num_threads_nifti_save=num_threads_nifti_save,
+                         do_tta=do_tta, overwrite_existing=overwrite_existing,
+                         step_size=step_size, checkpoint_name=checkpoint_name,
+                         fast_mode="fastest")
+
+
 def predict_from_folder(model: str, input_folder: str, output_folder: str, folds,
                         save_npz: bool = False, num_threads_preprocessing: int = 2,
                         num_threads_nifti_save: int = 2,
@@ -215,7 +259,8 @@ def predict_from_folder(model: str, input_folder: str, output_folder: str, folds
                         overwrite_existing: bool = True, all_in_gpu: bool = False,
                         step_size: float = 0.5,
                         checkpoint_name: str = "model_final_checkpoint",
-                        multitalent_regions: bool = False):
+                        multitalent_regions: bool = False,
+                        mode: str = "normal"):
     """predict_from_folder parity (predict.py:603): case discovery, embarrassingly
     parallel `part_id::num_parts` sharding, plans-driven modality count."""
     maybe_mkdir(output_folder)
@@ -233,11 +278,13 @@ def predict_from_folder(model: str, input_folder: str, output_folder: str, folds
          if f.startswith(c + "_") and len(f) == len(c) + 12]
         for c in case_ids
     ]
+    assert mode in ("normal", "fast", "fastest")
     return predict_cases(
         model, list_of_lists[part_id::num_parts], output_files[part_id::num_parts],
         folds, save_npz, num_threads_preprocessing, num_threads_nifti_save,
         None, tta, overwrite_existing, all_in_gpu, step_size, checkpoint_name,
-        export_region_niftis=multitalent_regions)
+        export_region_niftis=multitalent_regions,
+        fast_mode=None if mode == "normal" else mode)
 
 
 def _expected_modalities(model_folder: str) -> int:

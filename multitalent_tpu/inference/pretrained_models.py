@@ -16,21 +16,117 @@ import zipfile
 from multitalent_tpu import paths
 from multitalent_tpu.utils.fileops import maybe_mkdir, subdirs, subfiles
 
-# task -> (url, description) — the reference's table trimmed to the entries the
-# MultiTalent workflow uses; extend as needed
+# task -> {description, url}: the reference's full 27-entry zenodo table
+# (download_pretrained_model.py get_available_models) - facts about public
+# artifacts, reproduced verbatim. Descriptions abbreviated to one line.
 AVAILABLE_MODELS: dict[str, dict] = {
-    "Task100_MultiTalent": {
-        "description": "MultiTalent: multi-dataset CT segmentation (47 regions). "
-                       "Plain U-Net + residual-encoder U-Net, 5-fold CV.",
-        "url": "https://zenodo.org/record/7510286/files/MultiTalent_models.zip",
+    "Task001_BrainTumour": {
+        "description": "Brain Tumor Segmentation. Segmentation targets are edema, enhancing tumor and necrosis, Input modalities ar...",
+        "url": "https://zenodo.org/record/4003545/files/Task001_BrainTumour.zip?download=1",
+    },
+    "Task002_Heart": {
+        "description": "Left Atrium Segmentation. Segmentation target is the left atrium, Input modalities are 0: MRI. Also see Med...",
+        "url": "https://zenodo.org/record/4003545/files/Task002_Heart.zip?download=1",
     },
     "Task003_Liver": {
-        "description": "Liver and liver tumor (MSD)",
-        "url": "https://zenodo.org/record/4003545/files/Task003_Liver.zip",
+        "description": "Liver and Liver Tumor Segmentation. Segmentation targets are liver and tumors, Input modalities are 0: abdo...",
+        "url": "https://zenodo.org/record/4003545/files/Task003_Liver.zip?download=1",
     },
     "Task004_Hippocampus": {
-        "description": "Hippocampus head/body (MSD)",
-        "url": "https://zenodo.org/record/4003545/files/Task004_Hippocampus.zip",
+        "description": "Hippocampus Segmentation. Segmentation targets posterior and anterior parts of the hippocampus, Input modal...",
+        "url": "https://zenodo.org/record/4003545/files/Task004_Hippocampus.zip?download=1",
+    },
+    "Task005_Prostate": {
+        "description": "Prostate Segmentation. Segmentation targets are peripheral and central zone, Input modalities are 0: T2, 1:...",
+        "url": "https://zenodo.org/record/4485926/files/Task005_Prostate.zip?download=1",
+    },
+    "Task006_Lung": {
+        "description": "Lung Nodule Segmentation. Segmentation target are lung nodules, Input modalities are 0: abdominal CT scan. ...",
+        "url": "https://zenodo.org/record/4003545/files/Task006_Lung.zip?download=1",
+    },
+    "Task007_Pancreas": {
+        "description": "Pancreas Segmentation. Segmentation targets are pancras and pancreas tumor, Input modalities are 0: abdomin...",
+        "url": "https://zenodo.org/record/4003545/files/Task007_Pancreas.zip?download=1",
+    },
+    "Task008_HepaticVessel": {
+        "description": "Hepatic Vessel Segmentation. Segmentation targets are hepatic vesels and liver tumors, Input modalities are...",
+        "url": "https://zenodo.org/record/4003545/files/Task008_HepaticVessel.zip?download=1",
+    },
+    "Task009_Spleen": {
+        "description": "Spleen Segmentation. Segmentation target is the spleen, Input modalities are 0: abdominal CT scan. Also see...",
+        "url": "https://zenodo.org/record/4003545/files/Task009_Spleen.zip?download=1",
+    },
+    "Task010_Colon": {
+        "description": "Colon Cancer Segmentation. Segmentation target are colon caner primaries, Input modalities are 0: CT scan. ...",
+        "url": "https://zenodo.org/record/4003545/files/Task010_Colon.zip?download=1",
+    },
+    "Task017_AbdominalOrganSegmentation": {
+        "description": "Multi-Atlas Labeling Beyond the Cranial Vault - Abdomen. Segmentation targets are thirteen different abdomi...",
+        "url": "https://zenodo.org/record/4003545/files/Task017_AbdominalOrganSegmentation.zip?download=1",
+    },
+    "Task024_Promise": {
+        "description": "Prostate MR Image Segmentation 2012. Segmentation target is the prostate, Input modalities are 0: T2. Also ...",
+        "url": "https://zenodo.org/record/4003545/files/Task024_Promise.zip?download=1",
+    },
+    "Task027_ACDC": {
+        "description": "Automatic Cardiac Diagnosis Challenge. Segmentation targets are right ventricle, left ventricular cavity an...",
+        "url": "https://zenodo.org/record/4003545/files/Task027_ACDC.zip?download=1",
+    },
+    "Task029_LiTS": {
+        "description": "Liver and Liver Tumor Segmentation Challenge. Segmentation targets are liver and liver tumors, Input modali...",
+        "url": "https://zenodo.org/record/4003545/files/Task029_LITS.zip?download=1",
+    },
+    "Task035_ISBILesionSegmentation": {
+        "description": "Longitudinal multiple sclerosis lesion segmentation Challenge. Segmentation target is MS lesions, input mod...",
+        "url": "https://zenodo.org/record/4003545/files/Task035_ISBILesionSegmentation.zip?download=1",
+    },
+    "Task038_CHAOS_Task_3_5_Variant2": {
+        "description": "CHAOS - Combined (CT-MR) Healthy Abdominal Organ Segmentation Challenge (Task 3 & 5). Segmentation targets ...",
+        "url": "https://zenodo.org/record/4003545/files/Task038_CHAOS_Task_3_5_Variant2.zip?download=1",
+    },
+    "Task048_KiTS_clean": {
+        "description": "Kidney and Kidney Tumor Segmentation Challenge. Segmentation targets kidney and kidney tumors, Input modali...",
+        "url": "https://zenodo.org/record/4003545/files/Task048_KiTS_clean.zip?download=1",
+    },
+    "Task055_SegTHOR": {
+        "description": "SegTHOR: Segmentation of THoracic Organs at Risk in CT images. Segmentation targets are aorta, esophagus, h...",
+        "url": "https://zenodo.org/record/4003545/files/Task055_SegTHOR.zip?download=1",
+    },
+    "Task061_CREMI": {
+        "description": "MICCAI Challenge on Circuit Reconstruction from Electron Microscopy Images (Synaptic Cleft segmentation tas...",
+        "url": "https://zenodo.org/record/4003545/files/Task061_CREMI.zip?download=1",
+    },
+    "Task075_Fluo_C3DH_A549_ManAndSim": {
+        "description": "Fluo-C3DH-A549-SIM and Fluo-C3DH-A549 datasets of the cell tracking challenge. Segmentation target are C3DH...",
+        "url": "https://zenodo.org/record/4003545/files/Task075_Fluo_C3DH_A549_ManAndSim.zip?download=1",
+    },
+    "Task076_Fluo_N3DH_SIM": {
+        "description": "Fluo-N3DH-SIM dataset of the cell tracking challenge. Segmentation target are N3DH cells and cell borders i...",
+        "url": "https://zenodo.org/record/4003545/files/Task076_Fluo_N3DH_SIM.zip?download=1",
+    },
+    "Task082_BraTS2020": {
+        "description": "Brain tumor segmentation challenge 2020 (BraTS) Segmentation targets are 0: background, 1: edema, 2: necros...",
+        "url": ['https://zenodo.org/record/4635763/files/Task082_nnUNetTrainerV2__nnUNetPlansv2.1_5fold.zip?download=1', 'https://zenodo.org/record/4635763/files/Task082_nnUNetTrainerV2BraTSRegions_DA3_BN_BD__nnUNetPlansv2.1_bs5_5fold.zip?download=1', 'https://zenodo.org/record/4635763/files/Task082_nnUNetTrainerV2BraTSRegions_DA4_BN__nnUNetPlansv2.1_bs5_15fold.zip?download=1', 'https://zenodo.org/record/4635763/files/Task082_nnUNetTrainerV2BraTSRegions_DA4_BN_BD__nnUNetPlansv2.1_bs5_5fold.zip?download=1'],
+    },
+    "Task089_Fluo-N2DH-SIM_thickborder_time": {
+        "description": "Fluo-N2DH-SIM dataset of the cell tracking challenge. Segmentation target are nuclei of N2DH cells and cell...",
+        "url": "https://zenodo.org/record/4003545/files/Task089_Fluo-N2DH-SIM_thickborder_time.zip?download=1",
+    },
+    "Task114_heart_MNMs": {
+        "description": "Cardiac MRI short axis images from the M&Ms challenge 2020. Input modalities are 0: MRI See also https://ww...",
+        "url": "https://zenodo.org/record/4288464/files/Task114_heart_MNMs.zip?download=1",
+    },
+    "Task115_COVIDSegChallenge": {
+        "description": "Covid lesion segmentation in CT images. Data originates from COVID-19-20 challenge. Predicted labels are 0:...",
+        "url": ['https://zenodo.org/record/4635822/files/Task115_nnUNetTrainerV2_DA3__nnUNetPlans_v2.1__3d_fullres__10folds.zip?download=1', 'https://zenodo.org/record/4635822/files/Task115_nnUNetTrainerV2_DA3_BN__nnUNetPlans_v2.1__3d_fullres__10folds.zip?download=1', 'https://zenodo.org/record/4635822/files/Task115_nnUNetTrainerV2_ResencUNet__nnUNetPlans_FabiansResUNet_v2.1__3d_fullres__10folds.zip?download=1', 'https://zenodo.org/record/4635822/files/Task115_nnUNetTrainerV2_ResencUNet_DA3__nnUNetPlans_FabiansResUNet_v2.1__3d_fullres__10folds.zip?download=1', 'https://zenodo.org/record/4635822/files/Task115_nnUNetTrainerV2_ResencUNet_DA3_BN__nnUNetPlans_FabiansResUNet_v2.1__3d_lowres__10folds.zip?download=1'],
+    },
+    "Task135_KiTS2021": {
+        "description": "Kidney and kidney tumor segmentation in CT images. Data originates from KiTS2021 challenge. Predicted label...",
+        "url": "https://zenodo.org/record/5126443/files/Task135_KiTS2021.zip?download=1",
+    },
+    "Task100_MultiTalent": {
+        "description": "Pretrained models for the paper: MultiTalent: A Multi-Dataset Approach to Medical Image Segmentation Infos ...",
+        "url": "https://zenodo.org/record/8297767/files/Task100_MultiTalent.zip?download=1",
     },
 }
 
@@ -73,19 +169,46 @@ def install_model_from_zip_file(zip_file: str) -> None:
 
 
 def _apply_multitalent_fixups(out_dir: str) -> None:
+    """Post-install fixups for the released Task100 zip
+    (download_pretrained_model.py:274-295): the zip extracts to
+    <out>/Task100_MultiTalent (missing the 3d_fullres level), one trainer dir
+    carries a typo'd/old name, and the checkpoint sidecar pkls store stale
+    trainer names."""
+    import pickle
+    import shutil
+
+    src_dir = os.path.join(out_dir, "Task100_MultiTalent")
+    task_dir = os.path.join(out_dir, "3d_fullres", "Task100_MultiTalent")
+    if os.path.isdir(src_dir):
+        maybe_mkdir(os.path.dirname(task_dir))
+        shutil.copytree(src_dir, task_dir, dirs_exist_ok=True)
+        shutil.rmtree(src_dir)
+    if not os.path.isdir(task_dir):
+        return
     renames = {
+        # wrong upload trainer name in the released zip
+        "MultiTalent_tainer_resenc_ddp": "MultiTalent_trainer_resenc_ddp_2000ep",
+        # older release variants
         "MultiTalent_trainer": "MultiTalent_trainer_ddp",
         "MultiTalent_trainer_resenc": "MultiTalent_trainer_resenc_ddp",
     }
-    task_dir = os.path.join(out_dir, "3d_fullres", "Task100_MultiTalent")
-    if not os.path.isdir(task_dir):
-        return
     for d in subdirs(task_dir, join=False):
         base = d.split("__")[0]
         if base in renames:
             new = d.replace(base, renames[base], 1)
             os.rename(os.path.join(task_dir, d), os.path.join(task_dir, new))
             print(f"renamed {d} -> {new}")
+    # sidecar pkls carry old trainer names: stamp the (fixed) folder name in
+    for config in subdirs(task_dir, join=False):
+        for fold in subdirs(os.path.join(task_dir, config), join=False):
+            pkl = os.path.join(task_dir, config, fold,
+                               "model_final_checkpoint.model.pkl")
+            if os.path.isfile(pkl):
+                with open(pkl, "rb") as f:
+                    meta = pickle.load(f)
+                meta["name"] = config.split("__")[0]
+                with open(pkl, "wb") as f:
+                    pickle.dump(meta, f)
 
 
 def import_reference_model_folder(model_folder: str, trainer_name: str,

@@ -114,6 +114,24 @@ def device_resample_argmax(probs_dev, out_shape, chunk_channels: int = 8):
     return best_idx
 
 
+@lru_cache(maxsize=64)
+def _argmax_nearest_fn(in_shape, out_shape):
+    @jax.jit
+    def fn(probs):
+        seg = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        return jax.image.resize(seg, out_shape, method="nearest")
+    return fn
+
+
+def device_argmax_resample_nearest(probs_dev, out_shape):
+    """`predict_cases_fastest` semantics (reference predict.py:442-540): argmax
+    at the NETWORK grid first, then nearest-resample the single int labelmap —
+    resampling 1 channel instead of K makes this the cheapest export, at the
+    cost of blockier boundaries than probability-space resampling."""
+    out_shape = tuple(int(s) for s in out_shape)
+    return _argmax_nearest_fn(probs_dev.shape[:-1], out_shape)(probs_dev)
+
+
 def device_resample_threshold_packed(probs_dev, out_shape,
                                      threshold: float = 0.5,
                                      chunk_channels: int = 8):

@@ -85,6 +85,22 @@ def test_downscaling_resample_matches_host_no_antialias():
     assert np.mean(dev_seg != host_seg) < 0.01
 
 
+def test_argmax_then_nearest_resample_fastest_path():
+    """predict_cases_fastest semantics: argmax at network grid, nearest
+    labelmap resample. Must equal host nearest-resampling of the argmax."""
+    from multitalent_tpu.ops.device_export import device_argmax_resample_nearest
+
+    probs = rng.rand(6, 8, 10, 4).astype(np.float32)
+    out_shape = (9, 12, 15)
+    dev = np.asarray(device_argmax_resample_nearest(jnp.asarray(probs), out_shape))
+    host_seg = probs.argmax(-1)
+    # nearest by index mapping (jax.image.resize "nearest" semantics)
+    idx = [np.minimum((np.arange(o) + 0.5) * i / o, i - 1).astype(int)
+           for i, o in zip(probs.shape[:-1], out_shape)]
+    ref = host_seg[np.ix_(*idx)]
+    np.testing.assert_array_equal(dev, ref)
+
+
 def test_identity_shape_resample_is_exact():
     probs = rng.rand(5, 6, 7, 4).astype(np.float32)
     seg = np.asarray(device_resample_argmax(jnp.asarray(probs), (5, 6, 7)))

@@ -224,3 +224,29 @@ def test_predict_from_folder(trained_tiny):
     assert sorted(preds) == ["pat0.nii.gz", "pat1.nii.gz"]
     seg, _ = read_nifti(os.path.join(out_dir, "pat0.nii.gz"))
     assert seg.shape == (12, 12, 12)
+
+
+def test_pretrained_table_and_multitalent_fixups(tmp_path, monkeypatch):
+    """Full 27-entry zoo table + the released-zip fixups: folder level added,
+    typo'd trainer dir renamed, sidecar pkl trainer names rewritten."""
+    import pickle
+    from multitalent_tpu.inference import pretrained_models as pm
+
+    assert len(pm.AVAILABLE_MODELS) == 27
+    assert "Task100_MultiTalent" in pm.AVAILABLE_MODELS
+    assert "zenodo" in str(pm.AVAILABLE_MODELS["Task100_MultiTalent"]["url"])
+
+    out = tmp_path / "results"
+    bad = out / "Task100_MultiTalent" / \
+        "MultiTalent_tainer_resenc_ddp__MultiTalent_resenc_bs4" / "fold_0"
+    bad.mkdir(parents=True)
+    with open(bad / "model_final_checkpoint.model.pkl", "wb") as f:
+        pickle.dump({"name": "MultiTalent_tainer_resenc_ddp", "init": ()}, f)
+    pm._apply_multitalent_fixups(str(out))
+    fixed = out / "3d_fullres" / "Task100_MultiTalent" / \
+        "MultiTalent_trainer_resenc_ddp_2000ep__MultiTalent_resenc_bs4" / "fold_0"
+    assert fixed.is_dir()
+    assert not (out / "Task100_MultiTalent").exists()
+    with open(fixed / "model_final_checkpoint.model.pkl", "rb") as f:
+        meta = pickle.load(f)
+    assert meta["name"] == "MultiTalent_trainer_resenc_ddp_2000ep"
