@@ -22,6 +22,7 @@ def test_remove_random_component():
     assert out2.sum() == seg2.sum()
 
 
+@pytest.mark.slow
 def test_cascade_sampler_and_trainer(tmp_path):
     import jax
     from multitalent_tpu.training.cascade import (CascadePatchSampler3D,
@@ -103,6 +104,7 @@ def test_no_deep_supervision_trainer(tmp_path):
     t.val_gen.stop()
 
 
+@pytest.mark.slow
 def test_new_optimizer_and_loss_variants_resolve_and_run(tmp_path):
     """Ranger (RAdam), cycleAtEnd joined schedule, MCC / squared-dice losses."""
     from multitalent_tpu.registry import resolve_trainer

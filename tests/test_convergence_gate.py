@@ -36,6 +36,7 @@ def _make_blobs(tmp_path, n_cases=8, shape=(14, 14, 14)):
     return str(tmp_path)
 
 
+@pytest.mark.slow
 def test_trainer_learns_blobs(tmp_path):
     from multitalent_tpu.training.trainers import TrainerV2
 

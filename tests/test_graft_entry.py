@@ -6,6 +6,7 @@ its CPU fallback ran. These tests pin the fix: the function must run green on
 the virtual CPU pool regardless of host accelerator state.
 """
 import numpy as np
+import pytest
 
 
 def test_dryrun_multichip_8():
@@ -13,6 +14,7 @@ def test_dryrun_multichip_8():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import jax
 

@@ -95,6 +95,7 @@ def _loss_and_grads(plan, batch=4, patch=(8, 16, 16)):
     return float(loss), jax.device_get(grads)
 
 
+@pytest.mark.slow
 def test_flagship_bs4_sharded_step_matches_single_device():
     plan = plan_batch_sharding(4, (8, 16, 16), devices=jax.devices()[:8])
     assert dict(plan.mesh.shape) == {"data": 4, "space": 2}
@@ -151,6 +152,7 @@ def test_constrained_augment_values_unchanged():
         np.testing.assert_allclose(xc, xp, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_uses_hybrid_mesh_for_bs4(tmp_path):
     """The production TrainerV2 must pick up the hybrid plan for a bs4 plans
     file on the 8-device pool and train (not silently drop to one device)."""

@@ -64,6 +64,7 @@ def short_loop_cls():
     return ShortTrainer
 
 
+@pytest.mark.slow
 def test_trainer_v2_end_to_end(tmp_path, short_loop_cls):
     dd = make_preprocessed(tmp_path)
     plans = tiny_plans()
@@ -103,6 +104,7 @@ def test_trainer_grad_step_changes_params(tmp_path, short_loop_cls):
     t.val_gen.stop()
 
 
+@pytest.mark.slow
 def test_multitalent_trainer_end_to_end(tmp_path):
     from multitalent_tpu.training.multitalent import MultiTalentTrainer
 
@@ -179,6 +181,7 @@ def test_distribute_batch_size_policy():
     assert sizes == [3, 2]
 
 
+@pytest.mark.slow
 def test_warmup_seg_heads_phases(tmp_path):
     import jax
     from multitalent_tpu.training.warmup import TrainerV2WarmupSegHeads
@@ -244,6 +247,7 @@ def test_task_tables_consistency():
     assert props["valid_labels"] == [8]
 
 
+@pytest.mark.slow
 def test_trainer_2d_path(tmp_path, short_loop_cls):
     """2D configuration: PatchSampler2D + 2D augmentation + 2D GenericUNet."""
     dd = make_preprocessed(tmp_path, shape=(8, 24, 24))
