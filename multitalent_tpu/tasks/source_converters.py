@@ -16,11 +16,18 @@ public challenge downloads, matching the reference's one-off scripts:
   the 4-case exclusion list are reproduced here)
 - Task064 KiTS_labelsFixed (Task064_KiTS_labelsFixed.py:20-95)
 
+- Task046 AbdOrgSegm2 — TCIA Pancreas-CT + BTCV images with the zenodo
+  multi-organ labels (Task46_AbdOrgSegm2.py:44-186; the DICOM→NIfTI pre-step
+  is external as for Task062; the label remap, the pancreas image→label
+  geometry alignment, and the drop-unlabeled-images rule are reproduced)
+- Task051 StructSeg2019 Task3 Thoracic OAR
+  (Task51_StructSeg2019_Task3_Thoracic_OAR.py:8-41; the reference writes the
+  folder as `Task51_...` — this rebuild uses the zero-padded
+  `Task051_StructSeg2019_Task3_Thoracic_OAR` name that Task100's merge tables
+  expect, `Task100_MultiTalent.py:44`)
+
 The six Decathlon sources (Task003/006/007/008/009/010) convert through
-`mttpu_convert_decathlon_task` (cli/convert_decathlon_task.py). Task046
-(AbdOrgSegm2) and Task051 (StructSeg Thoracic OAR) have NO converter in the
-reference either — their raw folders were assembled by hand; this rebuild
-matches that (document-and-defer).
+`mttpu_convert_decathlon_task` (cli/convert_decathlon_task.py).
 
 CLI: python -m multitalent_tpu.cli.convert_multitalent_sources <task> <src> ...
 """
@@ -28,6 +35,8 @@ from __future__ import annotations
 
 import os
 import shutil
+
+import numpy as np
 
 from multitalent_tpu import paths
 from multitalent_tpu.utils.dataset_json import generate_dataset_json
@@ -186,9 +195,110 @@ def convert_task064_kits(source_dir: str,
     return out_base
 
 
+# Task046 remaps the zenodo multi-organ label values onto a dense 0..8 range
+# (Task46_AbdOrgSegm2.py:104-121: enumerate of the sparse {0,1,3,4,5,6,7,11,14}
+# label table in declaration order)
+TASK046_LABEL_REMAP = {0: 0, 1: 1, 3: 2, 4: 3, 5: 4, 6: 5, 7: 6, 11: 7, 14: 8}
+TASK046_LABEL_NAMES = {0: "background", 1: "spleen", 2: "left kidney",
+                       3: "gallbladder", 4: "esophagus", 5: "liver",
+                       6: "stomach", 7: "pancreas", 8: "duodenum"}
+
+
+def _remap_segmentation(src_path: str, out_path: str, mapping: dict) -> None:
+    """Value-table label remap preserving geometry
+    (Task46_AbdOrgSegm2.py:44-53)."""
+    from multitalent_tpu.io.nifti import read_nifti, write_nifti
+    seg, geom = read_nifti(src_path)
+    out = np.zeros_like(seg)
+    for src, dst in mapping.items():
+        out[seg == src] = dst
+    write_nifti(out_path, out, geom)
+
+
+def convert_task046_abdorgsegm2(pancreas_nifti_dir: str, labels_dir: str,
+                                btcv_images_dirs=(),
+                                raw_data_base: str | None = None) -> str:
+    """AbdOrgSegm2 (zenodo 1169361 multi-organ labels over TCIA Pancreas-CT +
+    BTCV images). `pancreas_nifti_dir` holds PANCREAS_XXXX.nii.gz volumes
+    (DICOM series converted beforehand, as for Task062); `labels_dir` is the
+    zenodo download with `label_tciapancreasct_multiorgan/label_tcia_multiorgan`
+    and `label_btcv_multiorgan` subfolders of labelXXXX.nii.gz;
+    `btcv_images_dirs` are folders of BTCV imgXXXX.nii.gz (e.g. the RawData
+    Training/img and Test/img — the reference labeled test images too,
+    Task46_AbdOrgSegm2.py:133-141). Images without a label are dropped
+    (:153-158); pancreas images get their direction/origin aligned to the
+    label (:19-26)."""
+    out_base, imagestr, imagests, labelstr = _task_layout(
+        "Task046_AbdOrgSegm2", raw_data_base)
+    from multitalent_tpu.io.nifti import Geometry, read_nifti, write_nifti
+
+    pan_labels = os.path.join(labels_dir, "label_tciapancreasct_multiorgan",
+                              "label_tcia_multiorgan")
+    if not os.path.isdir(pan_labels):  # tolerate a flattened download
+        pan_labels = os.path.join(labels_dir, "label_tcia_multiorgan")
+    for c in subfiles(pancreas_nifti_dir, join=False, suffix=".nii.gz"):
+        case = c[:-7]                               # PANCREAS_XXXX
+        lab_src = os.path.join(pan_labels, "label" + c[9:])
+        if not os.path.isfile(lab_src):
+            continue
+        lab_out = os.path.join(labelstr, case + ".nii.gz")
+        _remap_segmentation(lab_src, lab_out, TASK046_LABEL_REMAP)
+        # align image geometry to the label: the TCIA DICOM conversions carry
+        # inconsistent direction/origin vs the hand-made labels
+        img, igeom = read_nifti(os.path.join(pancreas_nifti_dir, c))
+        _, lgeom = read_nifti(lab_out)
+        write_nifti(os.path.join(imagestr, case + "_0000.nii.gz"), img,
+                    Geometry(spacing=igeom.spacing, origin=lgeom.origin,
+                             direction=lgeom.direction))
+
+    btcv_labels = os.path.join(labels_dir, "label_btcv_multiorgan")
+    for d in btcv_images_dirs:
+        for c in subfiles(d, join=False, suffix=".nii.gz"):
+            if not c.startswith("img"):
+                continue
+            case = c[:-7]                           # imgXXXX
+            lab_src = os.path.join(btcv_labels, "label" + c[3:])
+            if not os.path.isfile(lab_src):
+                continue
+            _remap_segmentation(lab_src, os.path.join(labelstr, case + ".nii.gz"),
+                                TASK046_LABEL_REMAP)
+            shutil.copy(os.path.join(d, c),
+                        os.path.join(imagestr, case + "_0000.nii.gz"))
+    generate_dataset_json(
+        os.path.join(out_base, "dataset.json"), imagestr, imagests, ("CT",),
+        TASK046_LABEL_NAMES, "AbdOrgSegm2",
+        dataset_reference="https://zenodo.org/record/1169361",
+        dataset_description="multi-organ labels over TCIA Pancreas-CT and "
+                            "BTCV images")
+    return out_base
+
+
+def convert_task051_structseg_thoracic(source_dir: str,
+                                       raw_data_base: str | None = None) -> str:
+    """StructSeg2019 Task3 Thoracic OAR: per-case folders of
+    {data.nii.gz, label.nii.gz} -> Task051
+    (Task51_StructSeg2019_Task3_Thoracic_OAR.py:8-41)."""
+    out_base, imagestr, imagests, labelstr = _task_layout(
+        "Task051_StructSeg2019_Task3_Thoracic_OAR", raw_data_base)
+    for c in subdirs(source_dir, join=False):
+        shutil.copy(os.path.join(source_dir, c, "data.nii.gz"),
+                    os.path.join(imagestr, c + "_0000.nii.gz"))
+        shutil.copy(os.path.join(source_dir, c, "label.nii.gz"),
+                    os.path.join(labelstr, c + ".nii.gz"))
+    generate_dataset_json(
+        os.path.join(out_base, "dataset.json"), imagestr, imagests, ("CT",),
+        {0: "background", 1: "left lung", 2: "right lung", 3: "heart",
+         4: "esophagus", 5: "trachea", 6: "spinal cord"},
+        "StructSeg2019_Task3",
+        dataset_reference="https://structseg2019.grand-challenge.org/")
+    return out_base
+
+
 CONVERTERS = {
     "Task017": convert_task017_btcv_abdomen,
     "Task018": convert_task018_btcv_cervix,
+    "Task046": convert_task046_abdorgsegm2,
+    "Task051": convert_task051_structseg_thoracic,
     "Task055": convert_task055_segthor,
     "Task062": convert_task062_nih_pancreas,
     "Task064": convert_task064_kits,

@@ -99,6 +99,59 @@ def test_task062_nih_pancreas_excludes_and_reorients(tmp_path):
                                np.diag([-1.0, -1.0, 1.0]))
 
 
+def test_task046_abdorgsegm2_remaps_and_aligns(tmp_path):
+    rng = np.random.RandomState(6)
+    pan = tmp_path / "pancreas_niftis"
+    labs = tmp_path / "zenodo"
+    btcv = tmp_path / "btcv_img"
+    # pancreas case with a label (sparse values incl. 11->7, 14->8), plus one
+    # unlabeled case that must be dropped
+    _write(str(pan / "PANCREAS_0001.nii.gz"), _vol(rng))
+    _write(str(pan / "PANCREAS_0099.nii.gz"), _vol(rng))
+    seg = np.zeros((4, 6, 6), np.int16)
+    seg[0, 0, 0], seg[1, 1, 1], seg[2, 2, 2] = 11, 14, 3
+    _write(str(labs / "label_tciapancreasct_multiorgan" / "label_tcia_multiorgan"
+               / "label0001.nii.gz"), seg)
+    # pancreas image written with a DIFFERENT origin than the label: the
+    # converter must align it (reference align_img)
+    misaligned = Geometry(spacing=(1.0, 1.0, 2.5), origin=(9.0, 9.0, 9.0),
+                          direction=GEOM.direction)
+    write_nifti(str(pan / "PANCREAS_0001.nii.gz"),
+                _vol(rng), misaligned)
+    # one labeled BTCV case, one unlabeled
+    _write(str(btcv / "img0001.nii.gz"), _vol(rng))
+    _write(str(btcv / "img0061.nii.gz"), _vol(rng))
+    _write(str(labs / "label_btcv_multiorgan" / "label0001.nii.gz"),
+           _vol(rng, labels=True))
+    out = sc.convert_task046_abdorgsegm2(
+        str(pan), str(labs), btcv_images_dirs=(str(btcv),),
+        raw_data_base=str(tmp_path / "raw"))
+    _check_layout(out, 2, 0, 2)
+    remapped, _ = read_nifti(os.path.join(out, "labelsTr",
+                                          "PANCREAS_0001.nii.gz"))
+    assert remapped[0, 0, 0] == 7 and remapped[1, 1, 1] == 8
+    assert remapped[2, 2, 2] == 2 and remapped.max() <= 8
+    _, igeom = read_nifti(os.path.join(out, "imagesTr",
+                                       "PANCREAS_0001_0000.nii.gz"))
+    np.testing.assert_allclose(igeom.origin, (0.0, 0.0, 0.0))
+    assert not os.path.isfile(os.path.join(out, "imagesTr",
+                                           "PANCREAS_0099_0000.nii.gz"))
+    assert not os.path.isfile(os.path.join(out, "imagesTr",
+                                           "img0061_0000.nii.gz"))
+
+
+def test_task051_structseg(tmp_path):
+    rng = np.random.RandomState(7)
+    src = tmp_path / "structseg"
+    for c in ("1", "2"):
+        _write(str(src / c / "data.nii.gz"), _vol(rng))
+        _write(str(src / c / "label.nii.gz"), _vol(rng, labels=True))
+    out = sc.convert_task051_structseg_thoracic(str(src),
+                                                str(tmp_path / "raw"))
+    assert out.endswith("Task051_StructSeg2019_Task3_Thoracic_OAR")
+    _check_layout(out, 2, 0, 2)
+
+
 def test_task064_kits(tmp_path):
     rng = np.random.RandomState(4)
     src = tmp_path / "kits"
