@@ -276,15 +276,16 @@ def _measure_train(device, on_tpu: bool) -> dict:
         host.randint(0, 3, (batch, 1, *patch)).astype(np.float32), device)
     key = jax.device_put(jax.random.PRNGKey(1), device)
 
-    # warmup: compile + 2 steps
+    # warmup: compile + 2 steps.  Sync via host fetch: on the axon relay
+    # block_until_ready returns immediately and would time dispatch only.
     for _ in range(2):
         state, loss = step(state, key, data, seg)
-    jax.block_until_ready(loss)
+    float(loss)
     n_iters = 20 if on_tpu else 3
     t0 = time.time()
     for _ in range(n_iters):
         state, loss = step(state, key, data, seg)
-    jax.block_until_ready(loss)
+    float(loss)
     per_iter = (time.time() - t0) / n_iters
     s_per_epoch = per_iter * 250
     return {"s_per_epoch": round(s_per_epoch, 2),

@@ -33,8 +33,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _impl_choice() -> str:
+    """Kernel inner-loop strategy: 'tap' (27 accumulating dots, the round-1
+    baseline), 'sum' (single accumulation expression), 'im2col' (materialize
+    [M, 27c] in VMEM, one long-K GEMM). Compile-time: part of the build key."""
+    import os
+    return os.environ.get("MTTPU_PALLAS_CONV_IMPL", "tap")
+
+
 def _conv_kernel(x_ref, w_ref, out_ref, xblk, sems, *, bz, by, bx, c, cout,
-                 zb, yb, xb):
+                 zb, yb, xb, impl="tap"):
     # The x (sublane) dim of HBM slices must be 8-aligned, so the input is
     # pre-padded by 8 in x and each program over-fetches an aligned bx+16
     # window; the +-1 halo sits at in-window offset 7..bx+9. z/y dims carry
@@ -73,31 +81,65 @@ def _conv_kernel(x_ref, w_ref, out_ref, xblk, sems, *, bz, by, bx, c, cout,
                                    pl.ds(0, bx + 16), :],
                           xblk.at[slot], sems.at[slot]).wait()
 
-    def body(acc):
-        acc[:] = jnp.zeros_like(acc)
+    if impl == "im2col":
+        # Materialize the full im2col matrix [M, 27*c] in VMEM (27 shifted
+        # block copies), then ONE [M, 27c] x [27c, cout] GEMM: K = 27*128 =
+        # 3456 streams the systolic array continuously instead of 27
+        # fill/drain cycles with an accumulator read-modify-write per tap.
+        def body(a):
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        t = (dz * 3 + dy) * 3 + dx
+                        xs = xblk[slot, dz:dz + bz, dy:dy + by,
+                                  dx + 7:dx + 7 + bx, :]
+                        a[:, t * c:(t + 1) * c] = xs.reshape(bz * by * bx, c)
+            out = jnp.dot(a[:], w_ref[:].reshape(27 * c, cout),
+                          preferred_element_type=jnp.float32)
+            out_ref[0] = out.reshape(bz, by, bx, cout).astype(out_ref.dtype)
+
+        pl.run_scoped(body, pltpu.VMEM((bz * by * bx, 27 * c), xblk.dtype))
+    elif impl == "sum":
+        # accumulate as one expression: lets Mosaic chain the 27 dots through
+        # the MXU accumulator instead of a VMEM read-modify-write per tap
+        out = None
         for dz in range(3):
             for dy in range(3):
                 for dx in range(3):
                     xs = xblk[slot, dz:dz + bz, dy:dy + by,
                               dx + 7:dx + 7 + bx, :]
                     a2 = xs.reshape(bz * by * bx, c)
-                    wt = w_ref[dz, dy, dx, :, :]
-                    acc[:] += jnp.dot(a2, wt,
-                                      preferred_element_type=jnp.float32)
-        out_ref[0] = acc[:].reshape(bz, by, bx, cout).astype(out_ref.dtype)
+                    d = jnp.dot(a2, w_ref[dz, dy, dx, :, :],
+                                preferred_element_type=jnp.float32)
+                    out = d if out is None else out + d
+        out_ref[0] = out.reshape(bz, by, bx, cout).astype(out_ref.dtype)
+    else:
+        def body(acc):
+            acc[:] = jnp.zeros_like(acc)
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        xs = xblk[slot, dz:dz + bz, dy:dy + by,
+                                  dx + 7:dx + 7 + bx, :]
+                        a2 = xs.reshape(bz * by * bx, c)
+                        wt = w_ref[dz, dy, dx, :, :]
+                        acc[:] += jnp.dot(a2, wt,
+                                          preferred_element_type=jnp.float32)
+            out_ref[0] = acc[:].reshape(bz, by, bx, cout).astype(out_ref.dtype)
 
-    pl.run_scoped(body, pltpu.VMEM((bz * by * bx, cout), jnp.float32))
+        pl.run_scoped(body, pltpu.VMEM((bz * by * bx, cout), jnp.float32))
 
 
 @lru_cache(maxsize=32)
-def _build(n, z, y, x, c, cout, dtype_name, bz, by, bx, interpret=False):
+def _build(n, z, y, x, c, cout, dtype_name, bz, by, bx, interpret=False,
+           impl="tap"):
     dtype = jnp.dtype(dtype_name)
     zb = z // bz
     yb = y // by
     xb = x // bx
     grid = (n * zb, yb, xb)
     kernel = partial(_conv_kernel, bz=bz, by=by, bx=bx, c=c, cout=cout,
-                     zb=zb, yb=yb, xb=xb)
+                     zb=zb, yb=yb, xb=xb, impl=impl)
     flops = 2 * 27 * c * cout * n * z * y * x
 
     return pl.pallas_call(
@@ -125,20 +167,23 @@ def _build(n, z, y, x, c, cout, dtype_name, bz, by, bx, interpret=False):
     )
 
 
-def _pick_blocks(z, y, x):
-    """Block sizes dividing the spatial dims, sized for ~1 MB VMEM blocks."""
+def _pick_blocks(z, y, x, impl="tap"):
+    """Block sizes dividing the spatial dims, sized for ~1 MB VMEM blocks
+    ('tap'/'sum') or ~0.5 MB ('im2col', whose [M, 27c] scratch is 27x the
+    block — M must stay ~1024 to fit VMEM)."""
     def best(dim, targets):
         for t in targets:
             if dim % t == 0:
                 return t
         return None
-    bz = best(z, (8, 6, 4, 12, 2))
-    by = best(y, (16, 12, 24, 8, 6, 4))
+    bz = best(z, (4, 8, 2) if impl == "im2col" else (8, 6, 4, 12, 2))
+    by = best(y, (16, 12, 8, 6, 4) if impl == "im2col"
+              else (16, 12, 24, 8, 6, 4))
     # bx must be a multiple of 8: HBM->VMEM DMA windows start at kk*bx in the
     # sublane (x) dim and sublane slice starts must be 8-aligned — the +8
     # pre-pad only yields aligned windows when bx % 8 == 0 (bx=12 would
     # compile-fail in Mosaic with no fallback).
-    bx = best(x, (16, 8, 24))
+    bx = best(x, (8, 16) if impl == "im2col" else (16, 8, 24))
     if None in (bz, by, bx):
         return None
     return bz, by, bx
@@ -153,7 +198,8 @@ def pallas_conv3d_same(x, w, *, interpret: bool = False):
     kz, ky, kx, cin, cout = w.shape
     if (kz, ky, kx) != (3, 3, 3) or cin != c:
         raise ValueError("unsupported kernel")
-    blocks = _pick_blocks(z, y, xdim)
+    impl = _impl_choice()
+    blocks = _pick_blocks(z, y, xdim, impl)
     if blocks is None:
         raise ValueError("unsupported shape")
     bz, by, bx = blocks
@@ -162,7 +208,7 @@ def pallas_conv3d_same(x, w, *, interpret: bool = False):
     xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (8, 8), (0, cp - c)))
     wp = jnp.pad(w, ((0, 0),) * 3 + ((0, cp - c), (0, coutp - cout)))
     call = _build(n, z, y, xdim, cp, coutp, str(x.dtype), bz, by, bx,
-                  interpret)
+                  interpret, impl)
     out = call(xpad, wp.astype(x.dtype))
     return out[..., :cout] if coutp != cout else out
 
