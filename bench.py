@@ -257,8 +257,8 @@ def _measure_train(device, on_tpu: bool) -> dict:
 
     from functools import partial
 
-    def train_step(state, rng, data_bc, seg_b1):
-        data, targets = augment(rng, data_bc, seg_b1)
+    def train_step(state, rng, i, data_bc, seg_b1):
+        data, targets = augment(jax.random.fold_in(rng, i), data_bc, seg_b1)
 
         def compute(params):
             outputs = forward(params, data, deterministic=False)
@@ -278,13 +278,16 @@ def _measure_train(device, on_tpu: bool) -> dict:
 
     # warmup: compile + 2 steps.  Sync via host fetch: on the axon relay
     # block_until_ready returns immediately and would time dispatch only.
-    for _ in range(2):
-        state, loss = step(state, key, data, seg)
+    # The key advances every iteration (as in real training): augmentation
+    # branches per sample on the draw (rotation -> gather warp), so a fixed
+    # key would time one arbitrary branch combination instead of the average.
+    for i in range(2):
+        state, loss = step(state, key, np.int32(i), data, seg)
     float(loss)
     n_iters = 20 if on_tpu else 3
     t0 = time.time()
-    for _ in range(n_iters):
-        state, loss = step(state, key, data, seg)
+    for i in range(n_iters):
+        state, loss = step(state, key, np.int32(100 + i), data, seg)
     float(loss)
     per_iter = (time.time() - t0) / n_iters
     s_per_epoch = per_iter * 250

@@ -37,10 +37,20 @@ UNPACKED = (1, 1)
 
 
 def _conv_same(x, w, b=None, strides=(1, 1, 1), dtype=jnp.bfloat16):
-    # note: routing the unpacked interior stages through the Pallas tap-GEMM
-    # conv was measured SLOWER end-to-end (67.4 vs 64.8 ms/sample b2) — their
-    # smaller spatial extents don't amortize the halo DMA; only the packed
-    # stages use it (packed_conv3d).
+    # Interior (C >= 120) stride-1 3^3 convs ride the Pallas tap-GEMM kernel:
+    # measured per-stage at b4 it beats XLA everywhere (enc2 86 vs 73, enc3 63
+    # vs 56, dec2 60 vs 46, dec1 41 vs 36 TFLOP/s). Channels below 120 stay on
+    # XLA — the 128-lane padding inflates FLOPs by (128/C)^2 and loses.
+    # (An earlier b2 measurement concluded the opposite; superseded.)
+    if (strides == (1, 1, 1) and w.shape[:3] == (3, 3, 3)
+            and w.shape[3] >= 120):
+        from multitalent_tpu.ops.pallas_conv import (conv3d_same_fast,
+                                                     pallas_conv_enabled)
+        if pallas_conv_enabled():
+            out = conv3d_same_fast(x.astype(dtype), w.astype(dtype))
+            if b is not None:
+                out = out + b.astype(dtype)
+            return out
     pad = tuple(((k - 1) // 2, (k - 1) // 2) for k in w.shape[:3])
     out = lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype), tuple(strides), pad,

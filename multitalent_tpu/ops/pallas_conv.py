@@ -229,11 +229,22 @@ def _ref_conv(x, w):
         x, w, (1, 1, 1), pad, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
+def _flip_kernel(w):
+    """Kernel for the dx pass: spatial flip + cin/cout swap. For a SAME
+    stride-1 conv, dL/dx = SAME-conv(dL/dy, flipped kernel) exactly."""
+    return jnp.swapaxes(w[::-1, ::-1, ::-1], 3, 4)
+
+
+def conv3d_same_dx(g, w, *, interpret: bool = False):
+    """dL/dx of conv3d_same as a Pallas SAME conv of the cotangent."""
+    return pallas_conv3d_same(g, _flip_kernel(w), interpret=interpret)
+
+
 @jax.custom_vjp
 def conv3d_same_fast(x, w):
     """SAME stride-1 conv: Pallas forward when the shape qualifies, XLA
-    backward (the Pallas kernel is forward-only; training grads keep XLA's
-    packed-conv performance)."""
+    backward for dw; dx also rides the Pallas kernel (a SAME conv of the
+    cotangent with the flipped kernel — same shape class as the forward)."""
     try:
         return pallas_conv3d_same(x, w)
     except ValueError:
@@ -246,8 +257,15 @@ def _fast_fwd(x, w):
 
 def _fast_bwd(res, g):
     x, w = res
-    _, vjp = jax.vjp(_ref_conv, x, w)
-    return vjp(g.astype(x.dtype))
+    g = g.astype(x.dtype)
+    try:
+        dx = conv3d_same_dx(g, w)
+    except ValueError:
+        _, vjp_x = jax.vjp(lambda xv: _ref_conv(xv, w), x)
+        (dx,) = vjp_x(g)
+    _, vjp_w = jax.vjp(lambda wv: _ref_conv(x, wv), w)
+    (dw,) = vjp_w(g)
+    return dx, dw
 
 
 conv3d_same_fast.defvjp(_fast_fwd, _fast_bwd)

@@ -134,6 +134,173 @@ def probe_stages():
               flush=True)
 
 
+def probe_gather():
+    """Gather microbenchmarks: scalar gathers (map_coordinates-style) vs row
+    gathers (vmapped dynamic_slice, contiguous lanes) — decides the warp
+    kernel strategy."""
+    import jax
+    import jax.numpy as jnp
+    host = np.random.RandomState(0)
+    zyx = (132, 132, 132)
+    n = int(np.prod(zyx))
+    vol = jnp.asarray(host.randn(*zyx), jnp.float32)
+    flat = vol.ravel()
+    idx = jnp.asarray(host.randint(0, n, n), jnp.int32)
+
+    f1 = jax.jit(lambda v, i: jnp.take(v, i))
+    dt = timeit(f1, flat, idx, n=4)
+    print(f"scalar take {n} idx: {dt*1e3:8.2f} ms "
+          f"({n/dt/1e6:7.1f} M elem/s)", flush=True)
+
+    # full trilinear warp cost at this size, one channel (for scale reference)
+    from multitalent_tpu.augment.spatial import (_centered_grid, _warp_volume,
+                                                 rotation_matrix_3d)
+    grid = _centered_grid(zyx)
+    r = rotation_matrix_3d(0.3, 0.2, 0.1)
+    coords = r @ grid + jnp.asarray([(s - 1) / 2.0 for s in zyx],
+                                    jnp.float32)[:, None]
+    f2 = jax.jit(lambda v: _warp_volume(v, coords, 1, 0.0))
+    dt = timeit(f2, vol, n=4)
+    print(f"map_coordinates warp {zyx}: {dt*1e3:8.2f} ms", flush=True)
+
+    # row gather: [R, 128] rows via vmapped dynamic_slice and via take(axis=0)
+    rows = jnp.asarray(host.randn(n // 128, 128), jnp.float32)
+    ridx = jnp.asarray(host.randint(0, n // 128, n // 128), jnp.int32)
+    f3 = jax.jit(lambda v, i: jax.vmap(
+        lambda k: jax.lax.dynamic_slice(v, (k, 0), (1, 128)))(i))
+    dt = timeit(f3, rows, ridx, n=4)
+    print(f"row dyn-slice {n//128} x 128: {dt*1e3:8.2f} ms "
+          f"({n*4/dt/1e9:6.1f} GB/s)", flush=True)
+    f4 = jax.jit(lambda v, i: jnp.take(v, i, axis=0))
+    dt = timeit(f4, rows, ridx, n=4)
+    print(f"row take     {n//128} x 128: {dt*1e3:8.2f} ms "
+          f"({n*4/dt/1e9:6.1f} GB/s)", flush=True)
+
+    # shear-style: per-(z,y) row shift via take_along_axis on the lane axis
+    k = jnp.asarray(host.randint(0, 132, (132, 132)), jnp.int32)
+    xi = (jnp.arange(132)[None, None, :] + k[:, :, None]) % 132
+    f5 = jax.jit(lambda v, i: jnp.take_along_axis(v, i, axis=2))
+    dt = timeit(f5, vol, xi, n=4)
+    print(f"lane take_along_axis {zyx}: {dt*1e3:8.2f} ms", flush=True)
+
+
+def probe_fwd2():
+    """Full flagship forward per sample, current default routing, b2/b4."""
+    import jax
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.packed_unet import make_inference_apply_fn
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_model
+
+    model = _flagship_model()
+    patch = (96, 192, 192)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(rng, jnp.zeros((1, *patch, 1)))["params"]
+    apply_fn = make_inference_apply_fn(model)
+    for b in (2, 4):
+        xin = jnp.asarray(np.random.RandomState(0).randn(b, *patch, 1),
+                          jnp.bfloat16)
+        f = jax.jit(lambda p, v: apply_fn(p, v))
+        dt = timeit(f, params, xin, n=6, warmup=2)
+        print(f"fwd b{b}: {dt*1e3:7.1f} ms = {dt/b*1e3:6.1f} ms/sample",
+              flush=True)
+
+
+def probe_interior():
+    """Pallas tap kernel vs XLA on the interior (C>=120) stage shapes, b4.
+
+    Only square-ish channel counts that fit VMEM; cout != cin exercised on the
+    decoder stages."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from multitalent_tpu.ops import pallas_conv as pcv
+
+    def xla_conv(xv, wv):
+        return lax.conv_general_dilated(
+            xv, wv, (1, 1, 1), ((1, 1),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    b = 4
+    shapes = [
+        ("enc2 (24,48,48)x120", (24, 48, 48), 120, 120),
+        ("enc3 (12,24,24)x240", (12, 24, 24), 240, 240),
+        ("dec2 (24,48,48) 240->120", (24, 48, 48), 240, 120),
+        ("dec1 (12,24,24) 480->240", (12, 24, 24), 480, 240),
+    ]
+    rng = np.random.RandomState(0)
+    for label, sp, cin, cout in shapes:
+        xin = jnp.asarray(rng.randn(b, *sp, cin), jnp.bfloat16)
+        w = jnp.asarray(rng.randn(3, 3, 3, cin, cout) * 0.02, jnp.bfloat16)
+        flops = 2 * 27 * cin * cout * b * int(np.prod(sp))
+
+        def chain4(f):
+            def run(xv, wv):
+                o = f(xv, wv)
+                for _ in range(3):
+                    o = f(o, wv) if cin == cout else o + 0 * o
+                return o
+            return run
+
+        reps = 4 if cin == cout else 1
+        for name, fn in (("xla", xla_conv), ("pallas", pcv.pallas_conv3d_same)):
+            try:
+                g = jax.jit(chain4(fn)) if reps == 4 else jax.jit(fn)
+                dt = timeit(g, xin, w, n=8) / reps
+                print(f"{label:28s} {name:6s} {dt*1e3:7.2f} ms "
+                      f"{flops/dt/1e12:6.1f} TFLOP/s", flush=True)
+            except Exception as e:
+                print(f"{label:28s} {name:6s} FAILED {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+
+
+def probe_augment():
+    """Per-transform cost of the on-device augmentation at Liver dummyLoad
+    shape (b2, 128^3, 1 modality)."""
+    import jax
+    import jax.numpy as jnp
+    from multitalent_tpu.augment import intensity as I
+    from multitalent_tpu.augment import spatial as S
+    from multitalent_tpu.augment.params import default_3D_augmentation_params
+    from multitalent_tpu.augment.pipeline import ds_scales_from_pools
+
+    p = dict(default_3D_augmentation_params)
+    patch = (128, 128, 128)
+    b = 2
+    host = np.random.RandomState(0)
+    data = jnp.asarray(host.randn(b, *patch, 1), jnp.float32)
+    seg = jnp.asarray(host.randint(0, 3, (b, *patch)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    ds_scales = [tuple(s) for s in ds_scales_from_pools(((2, 2, 2),) * 5)]
+
+    cases = [
+        ("spatial_warp", jax.jit(lambda k, d, s: S.spatial_augment(
+            k, d, s, patch, scale_range=tuple(p["scale_range"]),
+            rot_x=tuple(p["rotation_x"]), rot_y=tuple(p["rotation_y"]),
+            rot_z=tuple(p["rotation_z"]), p_rot=0.2, p_scale=0.2))),
+        ("gauss_noise", jax.jit(lambda k, d, s: I.gaussian_noise(k, d))),
+        ("gauss_blur", jax.jit(lambda k, d, s: I.gaussian_blur(k, d))),
+        ("brightness", jax.jit(
+            lambda k, d, s: I.brightness_multiplicative(k, d))),
+        ("contrast", jax.jit(lambda k, d, s: I.contrast_augmentation(k, d))),
+        ("lowres_sim", jax.jit(
+            lambda k, d, s: I.simulate_low_resolution(k, d))),
+        ("gamma_x2", jax.jit(lambda k, d, s: I.gamma_augmentation(
+            jax.random.fold_in(k, 1),
+            I.gamma_augmentation(k, d, invert=True)))),
+        ("mirror", jax.jit(lambda k, d, s: S.mirror_augment(k, d, s))),
+        ("ds_downsample", jax.jit(
+            lambda k, d, s: S.downsample_seg_for_ds(s, ds_scales))),
+    ]
+    for name, fn in cases:
+        try:
+            dt = timeit(fn, key, data, seg, n=6)
+            print(f"{name:14s} {dt*1e3:8.2f} ms", flush=True)
+        except Exception as e:
+            print(f"{name:14s} FAILED {type(e).__name__}: {str(e)[:100]}",
+                  flush=True)
+
+
 def probe_train():
     """Liver dummyLoad train-step breakdown: augment / fwd+bwd / full."""
     import jax
@@ -173,10 +340,18 @@ def probe_train():
     seg = jnp.asarray(host.randint(0, 3, (batch, 1, *patch)), jnp.float32)
     key = jax.random.PRNGKey(1)
 
-    # (a) augmentation alone
-    aug = jax.jit(lambda r, d, s: augment(r, d, s))
-    dt = timeit(aug, key, data, seg, n=6)
-    print(f"augment alone: {dt*1e3:7.1f} ms", flush=True)
+    # (a) augmentation alone — average over distinct keys (the per-sample
+    # rotation branch makes cost draw-dependent)
+    aug = jax.jit(lambda r, i, d, s: augment(jax.random.fold_in(r, i), d, s))
+    for _ in range(2):
+        sync(aug(key, np.int32(0), data, seg))
+    t0 = time.time()
+    n = 20
+    for i in range(n):
+        out = aug(key, np.int32(i), data, seg)
+    sync(out)
+    dt = (time.time() - t0) / n
+    print(f"augment alone (avg over {n} keys): {dt*1e3:7.1f} ms", flush=True)
 
     # (b) fwd+bwd+update on pre-augmented tensors
     adata, atargets = jax.jit(augment)(key, data, seg)
@@ -194,14 +369,21 @@ def probe_train():
     dt = timeit(lambda: fstep(state, adata, atargets), n=6)
     print(f"fwd+bwd+update: {dt*1e3:7.1f} ms", flush=True)
 
-    # (c) full step
-    def full_step(state, r, d, s):
-        dd, tt = augment(r, d, s)
+    # (c) full step, averaged over distinct keys
+    def full_step(state, r, i, d, s):
+        dd, tt = augment(jax.random.fold_in(r, i), d, s)
         return fwd_step(state, dd, tt)
 
     fullstep = jax.jit(full_step)
-    dt = timeit(lambda: fullstep(state, key, data, seg), n=6)
-    print(f"full step: {dt*1e3:7.1f} ms", flush=True)
+    for _ in range(2):
+        sync(fullstep(state, key, np.int32(0), data, seg))
+    t0 = time.time()
+    n = 20
+    for i in range(n):
+        out = fullstep(state, key, np.int32(i), data, seg)
+    sync(out)
+    dt = (time.time() - t0) / n
+    print(f"full step (avg over {n} keys): {dt*1e3:7.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -117,3 +117,40 @@ def test_full_pipeline():
     assert targets[1].shape == (2, 4, 6, 6)
     assert float(targets[0].min()) >= 0  # -1 labels removed
     assert np.all(np.isfinite(d))
+
+
+def test_scale_branch_matches_gather_warp():
+    """The separable matmul resample (branch 1) must equal the trilinear
+    gather warp on the same scale factors (corner weights are separable
+    products, so per-axis matmuls reproduce map_coordinates exactly)."""
+    rng = np.random.default_rng(7)
+    in_shape, final = (14, 12, 16), (8, 8, 8)
+    d = jnp.array(rng.standard_normal((*in_shape, 2)).astype(np.float32))
+    s = jnp.array(rng.integers(-1, 3, in_shape).astype(np.float32))
+    grid = S._centered_grid(final)
+    center_in = jnp.array([(n - 1) / 2.0 for n in in_shape], jnp.float32)
+    for scale in ((0.8, 1.3, 1.0), (1.4, 1.4, 1.4), (0.7, 0.7, 0.7)):
+        sc = jnp.asarray(scale, jnp.float32)
+        coords = grid * sc[:, None] + center_in[:, None]
+        d_ref = jax.vmap(lambda v: S._warp_volume(v, coords, 1, 0.0),
+                         in_axes=-1, out_axes=-1)(d).reshape(final + (2,))
+        s_ref = jnp.round(S._warp_volume(s, coords, 1, -1.0)).reshape(final)
+        d_got, s_got = S._scale_resample(d, s, sc, in_shape, final, 1)
+        np.testing.assert_allclose(d_got, d_ref, atol=1e-4)
+        np.testing.assert_allclose(s_got, s_ref, atol=1e-4)
+        # nearest-seg variant (order_seg=0, the MultiTalent setting)
+        s_ref0 = S._warp_volume(s, coords, 0, -1.0).reshape(final)
+        _, s_got0 = S._scale_resample(d, s, sc, in_shape, final, 0)
+        np.testing.assert_allclose(s_got0, s_ref0, atol=1e-5)
+
+
+def test_spatial_augment_scale_only_branch_runs():
+    """p_scale=1, p_rot=0 routes every sample through the matmul branch and
+    must agree with the gather warp on the same RNG draws."""
+    rng = np.random.default_rng(8)
+    data = jnp.array(rng.standard_normal((3, 12, 12, 12, 1)).astype(np.float32))
+    seg = jnp.array(rng.integers(0, 3, (3, 12, 12, 12)).astype(np.float32))
+    d, s = S.spatial_augment(KEY, data, seg, (8, 8, 8), p_rot=0.0, p_scale=1.0)
+    assert d.shape == (3, 8, 8, 8, 1) and s.shape == (3, 8, 8, 8)
+    assert np.all(np.isfinite(d))
+    assert set(np.unique(np.asarray(s))) <= {-1.0, 0.0, 1.0, 2.0}
