@@ -88,6 +88,103 @@ def _scale_resample(d, s, scale, in_shape, final_shape, order_seg):
     return out, sv
 
 
+def _pass_matrix(n, offsets, order):
+    """[J, n, n] per-batch-coordinate 1-D resampling matrices for
+    src(i_out) = i_out + offsets[j] (linear interp or nearest)."""
+    io = jnp.arange(n, dtype=jnp.float32)
+    src = io[None, :] + offsets[:, None]             # (J, n_out)
+    d = jnp.abs(src[:, :, None] - io[None, None, :])  # (J, n_out, n_in)
+    if order == 0:
+        nearest = jnp.sign(src) * jnp.floor(jnp.abs(src) + 0.5)
+        return (io[None, None, :] == nearest[:, :, None]).astype(jnp.float32)
+    return jnp.maximum(0.0, 1.0 - d)
+
+
+def _apply_axis_pass(vol, m, axis, batch_axis, cval):
+    """Batched-matmul resample of `vol` along `axis`, matrices batched over
+    `batch_axis`: out[.., j, .., io, ..] = sum_ii m[j, io, ii] vol[.., j, .., ii, ..]
+    plus cval times each row's missing mass. vol may have a trailing channel
+    dim beyond the 3 spatial dims."""
+    v = jnp.moveaxis(vol, (batch_axis, axis), (0, 1))  # (J, I, ...rest)
+    j, i = v.shape[0], v.shape[1]
+    rest = v.shape[2:]
+    v2 = v.reshape(j, i, -1)
+    out = jnp.einsum("joi,jir->jor", m, v2)
+    if cval != 0.0:
+        miss = 1.0 - jnp.sum(m, axis=2)               # (J, n_out)
+        out = out + cval * miss[:, :, None]
+    out = out.reshape(j, m.shape[1], *rest)
+    return jnp.moveaxis(out, (0, 1), (batch_axis, axis))
+
+
+def _rotation_shears(a1, a2, a3):
+    """The 9 Paeth shear passes realizing R = Rx(a1) @ Ry(a2) @ Rz(a3) on
+    (z, y, x) coordinates. Each planar rotation by theta in the (u, v) plane
+    factors as S_u(-tan(theta/2)) S_v(sin theta) S_u(-tan(theta/2)), and each
+    shear resamples ONE axis with an offset linear in ONE other axis — a
+    batched matmul, no gather. Returns [(axis, batch_axis, coeff), ...] in
+    sampling-composition order (first-applied pass = leftmost factor)."""
+    passes = []
+    # rotation_matrix_3d's rx/rz carry the [[c,-s],[s,c]] block on their
+    # planes ((y,x) and (z,y)); ry's (z,x) block is [[c,s],[-s,c]] = a
+    # rotation by -theta, hence the sign flip on a2.
+    for theta, (u, v) in ((a1, (1, 2)), (-a2, (0, 2)), (a3, (0, 1))):
+        t = -jnp.tan(theta / 2.0)
+        s = jnp.sin(theta)
+        passes += [(u, v, t), (v, u, s), (u, v, t)]
+    return passes
+
+
+def _shear_warp(d, s, a1, a2, a3, sc, in_shape, final_shape, order_seg):
+    """Rotation (+ scale) warp as 12 batched-matmul passes (9 shears + 3
+    scale resamples) followed by a center crop. Gathers on this TPU backend
+    run at ~100 M elem/s (measured), making map_coordinates ~650 ms per
+    128^3 sample; the shear path is pure MXU work. The realized geometric map
+    is EXACTLY R @ diag(sc); only the interpolation differs (sequential 1-D
+    lerps instead of one trilinear, the classical Paeth resampling)."""
+    centers = jnp.asarray([(n - 1) / 2.0 for n in in_shape], jnp.float32)
+
+    def centered(n_axis, coeff, batch_axis):
+        jj = (jnp.arange(in_shape[batch_axis], dtype=jnp.float32)
+              - centers[batch_axis])
+        return coeff * jj
+
+    dv, sv = d, s
+    all_passes = _rotation_shears(a1, a2, a3)
+    for axis, batch_axis, coeff in all_passes:
+        off = centered(in_shape[axis], coeff, batch_axis)
+        m = _pass_matrix(in_shape[axis], off, 1)
+        dv = _apply_axis_pass(dv, m, axis, batch_axis, 0.0)
+        ms = m if order_seg != 0 else _pass_matrix(in_shape[axis], off, 0)
+        sv = _apply_axis_pass(sv, ms, axis, batch_axis, -1.0)
+    # scale passes (rightmost factor of the sampling map -> applied last)
+    for axis in range(3):
+        mat = _axis_resample_matrix(in_shape[axis], in_shape[axis], sc[axis], 1)
+        dv = jnp.moveaxis(
+            jnp.tensordot(mat, dv, axes=([1], [axis])), 0, axis)
+        ssm = mat if order_seg != 0 else _axis_resample_matrix(
+            in_shape[axis], in_shape[axis], sc[axis], 0)
+        sv = jnp.moveaxis(
+            jnp.tensordot(ssm, sv, axes=([1], [axis])), 0, axis)
+        miss = 1.0 - jnp.sum(ssm, axis=1)
+        shape = [1, 1, 1]
+        shape[axis] = in_shape[axis]
+        sv = sv + (-1.0) * miss.reshape(shape)
+    off0 = tuple((i - f) // 2 for i, f in zip(in_shape, final_shape))
+    fz, fy, fx = final_shape
+    dv = jax.lax.dynamic_slice(
+        dv, (*off0, 0), (fz, fy, fx, dv.shape[-1]))
+    sv = jax.lax.dynamic_slice(sv, off0, (fz, fy, fx))
+    if order_seg != 0:
+        sv = jnp.round(sv)
+    return dv, sv
+
+
+def _use_shear_warp() -> bool:
+    import os
+    return os.environ.get("MTTPU_SHEAR_WARP", "1") != "0"
+
+
 @partial(jax.jit, static_argnames=("final_shape", "order_seg", "dummy_2d",
                                    "independent_scale", "rot_p_per_axis"))
 def spatial_augment(rng, data, seg, final_shape, scale_range=(0.7, 1.4),
@@ -160,7 +257,12 @@ def spatial_augment(rng, data, seg, final_shape, scale_range=(0.7, 1.4),
     def scale_one(d, s, a1, a2, a3, sc):
         return _scale_resample(d, s, sc, in_shape, final_shape, order_seg)
 
+    use_shear = _use_shear_warp()
+
     def warp_one(d, s, a1, a2, a3, sc):
+        if use_shear:
+            return _shear_warp(d, s, a1, a2, a3, sc, in_shape, final_shape,
+                               order_seg)
         r = rotation_matrix_3d(a1, a2, a3)
         coords = (r @ (grid * sc[:, None])) + center_in[:, None]
         d_out = jax.vmap(lambda v: _warp_volume(v, coords, 1, 0.0), in_axes=-1,

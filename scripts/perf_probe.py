@@ -134,6 +134,35 @@ def probe_stages():
               flush=True)
 
 
+def probe_bgemm():
+    """Batched small-M GEMM rate (the Winograd transform-domain shape):
+    einsum [g, m, k] x [g, k, n] with g=64 transform points."""
+    import jax
+    import jax.numpy as jnp
+    host = np.random.RandomState(0)
+    g, k = 64, 128
+    reps = 40  # chained inside one jit: sub-ms kernels are otherwise
+    #            dispatch-bound behind the relay (~2 ms/dispatch)
+    for m, n in ((128, 128), (256, 128), (512, 128), (1024, 128), (256, 120)):
+        a = jnp.asarray(host.randn(g, m, k), jnp.bfloat16)
+        b = jnp.asarray(host.randn(g, k, n) * 0.05, jnp.bfloat16)
+
+        def chained(x, y):
+            for _ in range(reps):
+                out = jnp.einsum("gmk,gkn->gmn", x, y,
+                                 preferred_element_type=jnp.float32)
+                if n < k:
+                    out = jnp.concatenate([out, out[..., :k - n]], -1)
+                x = out.astype(x.dtype)
+            return x
+
+        f = jax.jit(chained)
+        dt = timeit(f, a, b, n=4) / reps
+        flops = 2 * g * m * k * n
+        print(f"bgemm g{g} m{m} k{k} n{n}: {dt*1e6:8.1f} us "
+              f"{flops/dt/1e12:6.1f} TFLOP/s", flush=True)
+
+
 def probe_gather():
     """Gather microbenchmarks: scalar gathers (map_coordinates-style) vs row
     gathers (vmapped dynamic_slice, contiguous lanes) — decides the warp
@@ -278,6 +307,10 @@ def probe_augment():
             k, d, s, patch, scale_range=tuple(p["scale_range"]),
             rot_x=tuple(p["rotation_x"]), rot_y=tuple(p["rotation_y"]),
             rot_z=tuple(p["rotation_z"]), p_rot=0.2, p_scale=0.2))),
+        ("spatial_rot_forced", jax.jit(lambda k, d, s: S.spatial_augment(
+            k, d, s, patch, scale_range=tuple(p["scale_range"]),
+            rot_x=tuple(p["rotation_x"]), rot_y=tuple(p["rotation_y"]),
+            rot_z=tuple(p["rotation_z"]), p_rot=1.0, p_scale=0.2))),
         ("gauss_noise", jax.jit(lambda k, d, s: I.gaussian_noise(k, d))),
         ("gauss_blur", jax.jit(lambda k, d, s: I.gaussian_blur(k, d))),
         ("brightness", jax.jit(

@@ -154,3 +154,55 @@ def test_spatial_augment_scale_only_branch_runs():
     assert d.shape == (3, 8, 8, 8, 1) and s.shape == (3, 8, 8, 8)
     assert np.all(np.isfinite(d))
     assert set(np.unique(np.asarray(s))) <= {-1.0, 0.0, 1.0, 2.0}
+
+
+def test_shear_warp_exact_on_linear_field():
+    """Shear-decomposition rotation (9 Paeth passes + scale) realizes EXACTLY
+    the map R @ diag(sc): on a linear intensity field every interpolation
+    scheme is exact, so interior voxels must equal the analytic value."""
+    in_shape, final = (24, 24, 24), (10, 10, 10)
+    zz, yy, xx = np.meshgrid(*[np.arange(n, dtype=np.float32) - (n - 1) / 2
+                               for n in in_shape], indexing="ij")
+    coef = np.asarray([0.7, -0.3, 0.2], np.float32)
+    vol = coef[0] * zz + coef[1] * yy + coef[2] * xx
+    d = jnp.asarray(vol[..., None])
+    s = jnp.zeros(in_shape, jnp.float32)
+    for angles, sc in (((0.3, -0.2, 0.4), (1.0, 1.0, 1.0)),
+                       ((0.5, 0.1, -0.3), (0.9, 1.2, 1.1)),
+                       ((0.52, 0.0, 0.0), (1.0, 1.0, 1.0))):
+        a1, a2, a3 = (jnp.float32(a) for a in angles)
+        scv = jnp.asarray(sc, jnp.float32)
+        dv, _ = S._shear_warp(d, s, a1, a2, a3, scv, in_shape, final, 1)
+        r = np.asarray(S.rotation_matrix_3d(a1, a2, a3))
+        # analytic: out(p) = vol(R @ (sc * p_centered)) = coef . R (sc p)
+        fz, fy, fx = final
+        pz, py, px = np.meshgrid(*[np.arange(n, dtype=np.float32) - (n - 1) / 2
+                                   for n in final], indexing="ij")
+        pts = np.stack([pz, py, px], 0).reshape(3, -1)
+        expected = (coef @ (r @ (np.asarray(sc)[:, None] * pts))).reshape(final)
+        got = np.asarray(dv[..., 0])
+        # interior only: boundary rows see cval bleed-in
+        sl = (slice(2, -2),) * 3
+        np.testing.assert_allclose(got[sl], expected[sl], atol=5e-4)
+
+
+def test_shear_warp_close_to_gather_on_smooth_volume():
+    """On a smooth blob the shear warp and the trilinear gather warp agree to
+    interpolation-scheme tolerance; seg labels agree almost everywhere."""
+    in_shape, final = (20, 20, 20), (10, 10, 10)
+    zz, yy, xx = np.meshgrid(*[np.linspace(-1, 1, n, dtype=np.float32)
+                               for n in in_shape], indexing="ij")
+    blob = np.exp(-((zz * 1.3) ** 2 + yy ** 2 + (xx * 0.8) ** 2) * 3)
+    d = jnp.asarray(blob[..., None])
+    s = jnp.asarray((blob > 0.5).astype(np.float32))
+    a1, a2, a3 = jnp.float32(0.4), jnp.float32(-0.3), jnp.float32(0.2)
+    sc = jnp.asarray((1.1, 0.9, 1.0), jnp.float32)
+    dv, sv = S._shear_warp(d, s, a1, a2, a3, sc, in_shape, final, 1)
+    grid = S._centered_grid(final)
+    center_in = jnp.asarray([(n - 1) / 2.0 for n in in_shape], jnp.float32)
+    r = S.rotation_matrix_3d(a1, a2, a3)
+    coords = (r @ (grid * sc[:, None])) + center_in[:, None]
+    d_ref = S._warp_volume(d[..., 0], coords, 1, 0.0).reshape(final)
+    s_ref = jnp.round(S._warp_volume(s, coords, 1, -1.0)).reshape(final)
+    assert float(jnp.max(jnp.abs(dv[..., 0] - d_ref))) < 0.06
+    assert float(jnp.mean(jnp.abs(sv - s_ref))) < 0.05
