@@ -181,7 +181,8 @@ def _measure(device, on_tpu: bool) -> dict:
     # device and the masks cross the device->host link bit-packed (the
     # tunnelled link moves ~8 MB/s, so fetching fp16 probabilities would
     # measure the tunnel, not the machine).
-    from multitalent_tpu.ops.sliding_window import unpack_class_bits
+    from multitalent_tpu.ops.sliding_window import (fetch_packed_rle,
+                                                    unpack_class_bits)
     out = predictor.predict_regions_packed(params, vol)
     assert out.shape == (47, *volume_shape)
 
@@ -198,12 +199,13 @@ def _measure(device, on_tpu: bool) -> dict:
         packed_dev, slicer = predictor.predict_to_device(params, vol,
                                                          pack_threshold=0.5)
         if pending is not None:
-            pk = np.asarray(pending[0])[tuple(pending[1]) + (slice(None),)]
+            pk = fetch_packed_rle(pending[0])[tuple(pending[1])
+                                              + (slice(None),)]
             unpack_class_bits(pk, 47)
         pending = (packed_dev, slicer)
         jax.block_until_ready(packed_dev)
         per_repeat.append(time.time() - t0)
-    pk = np.asarray(pending[0])[tuple(pending[1]) + (slice(None),)]
+    pk = fetch_packed_rle(pending[0])[tuple(pending[1]) + (slice(None),)]
     unpack_class_bits(pk, 47)
     elapsed = float(np.median(per_repeat))
 

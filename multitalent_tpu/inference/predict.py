@@ -146,7 +146,8 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
         packed = None
         if region_class_order is not None or export_region_niftis:
             # mean > 0.5  <=>  fold-sum > 0.5 * n_folds
-            packed = np.asarray(device_resample_threshold_packed(
+            from multitalent_tpu.ops.sliding_window import fetch_packed_rle
+            packed = fetch_packed_rle(device_resample_threshold_packed(
                 probs_c, out_shape, threshold=0.5 * len(all_fold_params)))
         if region_class_order is not None:
             seg = segmentation_from_regions_packed(packed, region_class_order)

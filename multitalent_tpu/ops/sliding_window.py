@@ -463,7 +463,7 @@ class SlidingWindowPredictor:
         device->host path (threshold applied on device)."""
         packed_dev, slicer = self.predict_to_device(params, volume_czyx,
                                                     pack_threshold=threshold)
-        packed = np.asarray(packed_dev)[tuple(slicer) + (slice(None),)]
+        packed = fetch_packed_rle(packed_dev)[tuple(slicer) + (slice(None),)]
         return unpack_class_bits(packed, self.num_classes)
 
 
@@ -477,6 +477,56 @@ def _is_oom_error(e: BaseException) -> bool:
     return ("out of memory" in low
             or ("allocation" in low and "failed" in low)
             or ("hbm" in low and "exceed" in low))
+
+
+_RLE_BUCKETS = tuple(1 << k for k in range(14, 26))
+
+
+@jax.jit
+def _rle_count(flat):
+    """Number of runs in a 1-D array (first element always starts a run)."""
+    return 1 + jnp.sum(flat[1:] != flat[:-1], dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _rle_encode(flat, cap: int):
+    """Run starts (int32, padded with n) and their values, capacity `cap`."""
+    n = flat.shape[0]
+    bound = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             flat[1:] != flat[:-1]])
+    starts = jnp.nonzero(bound, size=cap, fill_value=n)[0].astype(jnp.int32)
+    vals = flat[jnp.minimum(starts, n - 1)]
+    return starts, vals
+
+
+def fetch_packed_rle(packed_dev) -> np.ndarray:
+    """Fetch a finalize_packed result (Z, Y, X, W uint32) via device-side
+    run-length encoding of each bit-word plane.
+
+    Thresholded segmentation masks are spatially coherent, so the run list is
+    typically 10-100x smaller than the dense words; on low-bandwidth device
+    links (the tunnelled TPU moves ~8-13 MB/s device->host) the dense fetch of
+    a (256,320,320,2) result costs ~15 s and dominates end-to-end inference.
+    Falls back to the dense fetch per plane when the run count approaches the
+    dense size (e.g. uncorrelated noise). The run count crossing the link
+    first also serves as the completion sync for the device pipeline."""
+    shape = tuple(packed_dev.shape)
+    w = shape[-1]
+    n = int(np.prod(shape[:-1]))
+    out = np.empty(shape, np.uint32)
+    for wi in range(w):
+        plane = jnp.ravel(packed_dev[..., wi])
+        cnt = int(_rle_count(plane))
+        bucket = next((b for b in _RLE_BUCKETS if b >= cnt), None)
+        if bucket is None or bucket * 8 >= n * 4:
+            out[..., wi] = np.asarray(plane).reshape(shape[:-1])
+            continue
+        starts, vals = _rle_encode(plane, bucket)
+        s = np.asarray(starts)[:cnt]
+        v = np.asarray(vals)[:cnt]
+        lengths = np.diff(np.append(s, n))
+        out[..., wi] = np.repeat(v, lengths).reshape(shape[:-1])
+    return out
 
 
 def unpack_class_bits(packed_zyxw: np.ndarray, num_classes: int) -> np.ndarray:

@@ -247,3 +247,20 @@ def test_device_loop_matches_host_loop(monkeypatch):
     monkeypatch.setenv("MTTPU_SW_DEVICE_LOOP", "0")
     host = predict()
     np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+def test_fetch_packed_rle_roundtrip():
+    """Device-side RLE fetch must reproduce the dense packed array exactly —
+    both on coherent masks (RLE path) and uncorrelated noise (dense
+    fallback)."""
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.sliding_window import fetch_packed_rle
+
+    rng = np.random.RandomState(3)
+    # coherent: blocky runs
+    blocks = rng.randint(0, 5, (6, 8, 4)).astype(np.uint32)
+    coherent = np.kron(blocks, np.ones((4, 4, 8), np.uint32))
+    for arr in (coherent, rng.randint(0, 2**31, (16, 16, 16)).astype(np.uint32)):
+        packed = np.stack([arr, arr ^ 0xDEADBEEF], axis=-1).astype(np.uint32)
+        got = fetch_packed_rle(jnp.asarray(packed))
+        np.testing.assert_array_equal(got, packed)
