@@ -81,7 +81,61 @@ def _conv_kernel(x_ref, w_ref, out_ref, xblk, sems, *, bz, by, bx, c, cout,
                                    pl.ds(0, bx + 16), :],
                           xblk.at[slot], sems.at[slot]).wait()
 
-    if impl == "im2col":
+    if impl == "wino":
+        # Winograd F(2x2x2, 3x3x3): 8/27 the MXU work of the direct conv.
+        # Weights arrive pre-transformed as [64, c, cout] (G w G^T per axis,
+        # host-side). Data transform B^T and inverse transform A^T are adds
+        # only; the 64 transform-domain GEMMs run staged per (a, b) pair with
+        # the inverse accumulated on the fly, so at most ~20 [M_b, c] arrays
+        # are live at once.
+        hz, hy, hx = bz // 2, by // 2, bx // 2
+        mb = hz * hy * hx
+        xv = xblk[slot]
+
+        def bt(v):
+            # B^T rows: (1,0,-1,0), (0,1,1,0), (0,-1,1,0), (0,1,0,-1)
+            return [v[0] - v[2], v[1] + v[2], v[2] - v[1], v[1] - v[3]]
+
+        # z-pass: strided (major-dim) slices, 4 arrays [hz, by+2, bx+16, c]
+        t1 = bt([xv[za:za + bz:2] for za in range(4)])
+        # y-pass: 16 arrays [hz, hy, bx+16, c]
+        t2 = [bt([ta[:, yb_:yb_ + by:2] for yb_ in range(4)]) for ta in t1]
+
+        at_rows = ((1.0, 1.0, 1.0, 0.0), (0.0, 1.0, -1.0, -1.0))
+        acc = {}
+        for a in range(4):
+            for b in range(4):
+                # x-pass (sublane stride 2): 4 arrays [hz, hy, hx, c]
+                t3 = bt([t2[a][b][:, :, 7 + xc:7 + xc + bx:2]
+                         for xc in range(4)])
+                for cc in range(4):
+                    idx = (a * 4 + b) * 4 + cc
+                    yab = jnp.dot(t3[cc].reshape(mb, c), w_ref[idx],
+                                  preferred_element_type=jnp.float32)
+                    for pz in range(2):
+                        ca = at_rows[pz][a]
+                        if ca == 0.0:
+                            continue
+                        for py in range(2):
+                            cb = at_rows[py][b]
+                            if cb == 0.0:
+                                continue
+                            for px in range(2):
+                                cw = at_rows[px][cc]
+                                if cw == 0.0:
+                                    continue
+                                coeff = ca * cb * cw
+                                term = yab if coeff == 1.0 else -yab
+                                key = (pz, py, px)
+                                acc[key] = (term if key not in acc
+                                            else acc[key] + term)
+        # interleave the 2x2x2 output phases back into the block
+        rows = [acc[(pz, py, px)].reshape(hz, hy, hx, cout)
+                for pz in range(2) for py in range(2) for px in range(2)]
+        stacked = jnp.stack(rows).reshape(2, 2, 2, hz, hy, hx, cout)
+        out = stacked.transpose(3, 0, 4, 1, 5, 2, 6).reshape(bz, by, bx, cout)
+        out_ref[0] = out.astype(out_ref.dtype)
+    elif impl == "im2col":
         # Materialize the full im2col matrix [M, 27*c] in VMEM (27 shifted
         # block copies), then ONE [M, 27c] x [27c, cout] GEMM: K = 27*128 =
         # 3456 streams the systolic array continuously instead of 27
@@ -176,6 +230,14 @@ def _pick_blocks(z, y, x, impl="tap"):
             if dim % t == 0:
                 return t
         return None
+    if impl == "wino":
+        # block dims must be even (2^3 output tiles); bx also 16-aligned
+        bz = best(z, (8, 6, 4, 2))
+        by = best(y, (16, 12, 8, 6, 4, 2))
+        bx = best(x, (16, 32, 8, 24))
+        if None in (bz, by, bx):
+            return None
+        return bz, by, bx
     bz = best(z, (4, 8, 2) if impl == "im2col" else (8, 6, 4, 12, 2))
     by = best(y, (16, 12, 8, 6, 4) if impl == "im2col"
               else (16, 12, 24, 8, 6, 4))
@@ -207,6 +269,13 @@ def pallas_conv3d_same(x, w, *, interpret: bool = False):
     coutp = -(-cout // 128) * 128
     xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (8, 8), (0, cp - c)))
     wp = jnp.pad(w, ((0, 0),) * 3 + ((0, cp - c), (0, coutp - cout)))
+    if impl == "wino":
+        # pre-transform the weights: wt[abc] = (G x G x G) w, [64, cp, coutp]
+        g = jnp.asarray([[1.0, 0.0, 0.0], [0.5, 0.5, 0.5],
+                         [0.5, -0.5, 0.5], [0.0, 0.0, 1.0]], jnp.float32)
+        wt = jnp.einsum("au,bv,cw,uvwio->abcio", g, g, g,
+                        wp.astype(jnp.float32))
+        wp = wt.reshape(64, cp, coutp)
     call = _build(n, z, y, xdim, cp, coutp, str(x.dtype), bz, by, bx,
                   interpret, impl)
     out = call(xpad, wp.astype(x.dtype))
