@@ -260,6 +260,10 @@ def pallas_conv3d_same(x, w, *, interpret: bool = False):
     kz, ky, kx, cin, cout = w.shape
     if (kz, ky, kx) != (3, 3, 3) or cin != c:
         raise ValueError("unsupported kernel")
+    if not interpret and jax.default_backend() != "tpu":
+        # non-interpret pallas_call fails at LOWERING time on CPU — inside jit
+        # that is past the callers' try/except ValueError, so refuse here
+        raise ValueError("pallas conv requires a TPU backend")
     impl = _impl_choice()
     blocks = _pick_blocks(z, y, xdim, impl)
     if blocks is None:
@@ -290,6 +294,118 @@ def pallas_conv_enabled() -> bool:
     if val is not None:
         return val != "0"
     return jax.devices()[0].platform == "tpu"
+
+
+def _wgrad_kernel(x_ref, g_ref, out_ref, xblk, sems, *, bz, by, bx, c, cout,
+                  zb, yb, xb):
+    """dw[tap, ci, co] = sum over all output voxels of x_shifted * g: 27
+    [C, M] x [M, Cout] tap-GEMMs per block, accumulated into a VMEM-resident
+    fp32 [27, C, Cout] across the (sequential) grid. Reuses the forward
+    kernel's haloed-x double-buffered DMA; g arrives via a BlockSpec."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    g = (i * yb + j) * xb + k
+    n_steps = pl.num_programs(0) * yb * xb
+    slot = jax.lax.rem(g, 2)
+
+    def start_fetch(step, slot):
+        kk = jax.lax.rem(step, xb)
+        jj = jax.lax.rem(step // xb, yb)
+        ii = step // (xb * yb)
+        dma = pltpu.make_async_copy(
+            x_ref.at[ii // zb, pl.ds(jax.lax.rem(ii, zb) * bz, bz + 2),
+                     pl.ds(jj * by, by + 2), pl.ds(kk * bx, bx + 16), :],
+            xblk.at[slot], sems.at[slot])
+        dma.start()
+        return dma
+
+    @pl.when(g == 0)
+    def _():
+        start_fetch(0, 0)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(g + 1 < n_steps)
+    def _():
+        start_fetch(g + 1, 1 - slot)
+
+    pltpu.make_async_copy(x_ref.at[0, pl.ds(0, bz + 2), pl.ds(0, by + 2),
+                                   pl.ds(0, bx + 16), :],
+                          xblk.at[slot], sems.at[slot]).wait()
+
+    gs = g_ref[0].reshape(bz * by * bx, cout)
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                t = (dz * 3 + dy) * 3 + dx
+                xs = xblk[slot, dz:dz + bz, dy:dy + by,
+                          dx + 7:dx + 7 + bx, :]
+                a2 = xs.reshape(bz * by * bx, c)
+                out_ref[t] += jax.lax.dot_general(
+                    a2, gs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+
+@lru_cache(maxsize=32)
+def _build_wgrad(n, z, y, x, c, cout, dtype_name, bz, by, bx,
+                 interpret=False):
+    dtype = jnp.dtype(dtype_name)
+    zb = z // bz
+    yb = y // by
+    xb = x // bx
+    grid = (n * zb, yb, xb)
+    kernel = partial(_wgrad_kernel, bz=bz, by=by, bx=bx, c=c, cout=cout,
+                     zb=zb, yb=yb, xb=xb)
+    flops = 2 * 27 * c * cout * n * z * y * x
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # padded x, DMA'd manually
+            pl.BlockSpec((1, bz, by, bx, cout),
+                         lambda i, j, k, zb=zb: (i // zb, i % zb, j, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((27, c, cout), lambda i, j, k: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((27, c, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, bz + 2, by + 2, bx + 16, c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(n * (z + 2) * (y + 2) * (x + 16) * c * 2
+                            + n * z * y * x * cout * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+
+def pallas_conv3d_same_wgrad(x, g, *, interpret: bool = False):
+    """dL/dw of the stride-1 SAME 3x3x3 conv: x (N,Z,Y,X,Cin), cotangent g
+    (N,Z,Y,X,Cout) -> dw (3,3,3,Cin,Cout) fp32. Same shape constraints as
+    pallas_conv3d_same; raises ValueError when unsupported."""
+    n, z, y, xdim, c = x.shape
+    ng, zg, yg, xg, cout = g.shape
+    if (ng, zg, yg, xg) != (n, z, y, xdim):
+        raise ValueError("shape mismatch")
+    if not interpret and jax.default_backend() != "tpu":
+        raise ValueError("pallas conv requires a TPU backend")
+    blocks = _pick_blocks(z, y, xdim, "tap")
+    if blocks is None:
+        raise ValueError("unsupported shape")
+    bz, by, bx = blocks
+    cp = -(-c // 128) * 128
+    coutp = -(-cout // 128) * 128
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (8, 8), (0, cp - c)))
+    gp = jnp.pad(g, ((0, 0),) * 4 + ((0, coutp - cout),)) \
+        if coutp != cout else g
+    call = _build_wgrad(n, z, y, xdim, cp, coutp, str(x.dtype), bz, by, bx,
+                        interpret)
+    dw = call(xpad, gp.astype(x.dtype))
+    return dw.reshape(3, 3, 3, cp, coutp)[:, :, :, :c, :cout]
 
 
 def _ref_conv(x, w):
@@ -324,6 +440,14 @@ def _fast_fwd(x, w):
     return conv3d_same_fast(x, w), (x, w)
 
 
+def _pallas_wgrad_enabled() -> bool:
+    import os
+    val = os.environ.get("MTTPU_PALLAS_WGRAD")
+    if val is not None:
+        return val != "0"
+    return True
+
+
 def _fast_bwd(res, g):
     x, w = res
     g = g.astype(x.dtype)
@@ -332,6 +456,11 @@ def _fast_bwd(res, g):
     except ValueError:
         _, vjp_x = jax.vjp(lambda xv: _ref_conv(xv, w), x)
         (dx,) = vjp_x(g)
+    if _pallas_wgrad_enabled():
+        try:
+            return dx, pallas_conv3d_same_wgrad(x, g).astype(w.dtype)
+        except ValueError:
+            pass
     _, vjp_w = jax.vjp(lambda wv: _ref_conv(x, wv), w)
     (dw,) = vjp_w(g)
     return dx, dw

@@ -140,3 +140,26 @@ def test_pallas_conv3d_wino_interpret_matches_lax(monkeypatch):
         got = pcv.pallas_conv3d_same(x, w, interpret=True)
         np.testing.assert_allclose(ref, got, atol=2e-4, rtol=1e-3)
     pcv._build.cache_clear()
+
+def test_pallas_wgrad_interpret_matches_vjp():
+    """dw kernel (pallas_conv3d_same_wgrad) vs the XLA conv vjp, interpret
+    mode, incl. a multi-block grid and Cin != Cout."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from multitalent_tpu.ops.pallas_conv import pallas_conv3d_same_wgrad
+
+    def conv(xv, wv):
+        return lax.conv_general_dilated(
+            xv, wv, (1, 1, 1), ((1, 1),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    rngl = np.random.RandomState(11)
+    for shape, co in [((2, 4, 8, 16, 5), 7), ((1, 16, 32, 32, 3), 4)]:
+        x = jnp.asarray(rngl.randn(*shape).astype(np.float32))
+        g = jnp.asarray(rngl.randn(*shape[:-1], co).astype(np.float32))
+        w = jnp.asarray(rngl.randn(3, 3, 3, shape[-1], co).astype(np.float32))
+        _, vjp = jax.vjp(lambda wv: conv(x, wv), w)
+        (dw_ref,) = vjp(g)
+        dw = pallas_conv3d_same_wgrad(x, g, interpret=True)
+        np.testing.assert_allclose(dw_ref, dw, atol=2e-4, rtol=1e-3)
