@@ -34,7 +34,12 @@ def get_lib():
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.isfile(_SO) and not _build():
+    src = os.path.join(_HERE, "cc3d.cpp")
+    stale = (os.path.isfile(_SO) and os.path.isfile(src)
+             and os.path.getmtime(src) > os.path.getmtime(_SO))
+    if (not os.path.isfile(_SO) or stale) and not _build() and stale:
+        pass  # stale-but-unbuildable: fall through to the vendored binary
+    if not os.path.isfile(_SO):
         return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -48,6 +53,17 @@ def get_lib():
     lib.keep_largest_component.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    if hasattr(lib, "unpack_class_bits"):
+        lib.unpack_class_bits.restype = None
+        lib.unpack_class_bits.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+    if hasattr(lib, "rle_expand_u32"):
+        lib.rle_expand_u32.restype = None
+        lib.rle_expand_u32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int64]
     _LIB = lib
     return _LIB
 
@@ -67,6 +83,50 @@ def label_3d(mask: np.ndarray):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         *[ctypes.c_int64(s) for s in m.shape])
     return out, int(n)
+
+
+def unpack_class_bits(packed_w: np.ndarray, num_classes: int):
+    """Bit-packed per-voxel uint32 words (..., W) -> channel-major bool masks
+    (num_classes, ...). Native single-pass expansion; returns None when the
+    native library is unavailable (callers fall back to numpy)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "unpack_class_bits"):
+        return None
+    from multitalent_tpu.utils.alloc import fast_empty
+    packed_w = np.ascontiguousarray(packed_w, np.uint32)
+    spatial = packed_w.shape[:-1]
+    n_vox = int(np.prod(spatial))
+    # huge-page backing: first-touch faults on a fresh multi-GB np.empty cost
+    # 20-100 s on this host class (utils/alloc.py)
+    out = fast_empty((num_classes, n_vox), np.uint8)
+    lib.unpack_class_bits(
+        packed_w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n_vox), ctypes.c_int64(packed_w.shape[-1]),
+        ctypes.c_int64(num_classes))
+    return out.view(np.bool_).reshape((num_classes,) + spatial)
+
+
+def rle_expand_u32(starts: np.ndarray, vals: np.ndarray, n: int,
+                   out_strided: np.ndarray) -> bool:
+    """Expand runs (start indices int32, values uint32) into out_strided, a
+    1-D uint32 view whose elements are `stride` apart (e.g. one bit-word
+    plane of a (Z,Y,X,W) array). Returns False when the native library is
+    unavailable (callers fall back to np.repeat)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rle_expand_u32"):
+        return False
+    starts = np.ascontiguousarray(starts, np.int32)
+    vals = np.ascontiguousarray(vals, np.uint32)
+    stride_bytes, = out_strided.strides
+    assert stride_bytes % 4 == 0 and out_strided.dtype == np.uint32
+    lib.rle_expand_u32(
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(starts.shape[0]), ctypes.c_int64(n),
+        out_strided.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(stride_bytes // 4))
+    return True
 
 
 def keep_largest_component(mask: np.ndarray) -> np.ndarray:

@@ -123,4 +123,59 @@ int64_t keep_largest_component(uint8_t* mask, int32_t* scratch_labels, int64_t n
   return sizes[best];
 }
 
+// Expand bit-packed class masks (the device-side finalize_packed layout:
+// per-voxel uint32 words, bit k of word k/32 = class k) into channel-major
+// uint8 0/1 masks out[k * n_vox + v]. Voxel-blocked so each block's words
+// stay in L1 while the per-class writes run sequentially; replaces a
+// np.unpackbits + strided-astype chain that cost ~100 s per (256,320,320,47)
+// volume on this host (numpy's bit loop, not memory bandwidth).
+void unpack_class_bits(const uint32_t* in, uint8_t* out, int64_t n_vox,
+                       int64_t n_words, int64_t n_classes) {
+  // Voxel-blocked: deinterleave each block's words into an L1/L2-resident
+  // scratch plane so the per-class inner loop is a pure elementwise
+  // shift-and-mask over contiguous uint32 -> uint8 — the form the
+  // auto-vectorizer turns into AVX2/AVX-512 shifts + byte packs. The naive
+  // strided in[v * n_words + word] load defeated vectorization (~200 MB/s).
+  const int64_t kBlock = 16384;
+  std::vector<uint32_t> scratch(static_cast<size_t>(kBlock));
+  for (int64_t w = 0; w < n_words; ++w) {
+    const int64_t k_hi =
+        (w + 1) * 32 < n_classes ? (w + 1) * 32 : n_classes;
+    for (int64_t v0 = 0; v0 < n_vox; v0 += kBlock) {
+      const int64_t v1 = v0 + kBlock < n_vox ? v0 + kBlock : n_vox;
+      const int64_t nb = v1 - v0;
+      uint32_t* sc = scratch.data();
+      const uint32_t* src = in + v0 * n_words + w;
+      for (int64_t v = 0; v < nb; ++v) sc[v] = src[v * n_words];
+      for (int64_t k = w * 32; k < k_hi; ++k) {
+        const uint32_t shift = static_cast<uint32_t>(k & 31);
+        uint8_t* dst = out + k * n_vox + v0;
+        for (int64_t v = 0; v < nb; ++v) {
+          dst[v] = static_cast<uint8_t>((sc[v] >> shift) & 1u);
+        }
+      }
+    }
+  }
+}
+
+// Expand a run-length encoding (run start indices + per-run values) into a
+// strided uint32 output: out[i * stride] = value of the run covering i, for
+// i in [0, n). Replaces np.repeat(vals, diff(starts)) + a strided numpy
+// assignment, whose fresh multi-hundred-MB intermediate pays the slow
+// first-touch fault cost on this host class.
+void rle_expand_u32(const int32_t* starts, const uint32_t* vals,
+                    int64_t n_runs, int64_t n, uint32_t* out,
+                    int64_t stride) {
+  for (int64_t r = 0; r < n_runs; ++r) {
+    const int64_t lo = starts[r];
+    const int64_t hi = r + 1 < n_runs ? starts[r + 1] : n;
+    const uint32_t v = vals[r];
+    if (stride == 1) {
+      for (int64_t i = lo; i < hi; ++i) out[i] = v;
+    } else {
+      for (int64_t i = lo; i < hi; ++i) out[i * stride] = v;
+    }
+  }
+}
+
 }  // extern "C"

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.ndimage import gaussian_filter
 
+from multitalent_tpu import native
+
 
 def compute_steps_for_sliding_window(patch_size, image_size, step_size: float) -> list[list[int]]:
     """Per-axis start coordinates (neural_network.py:261-285): first step at 0, last
@@ -510,10 +512,11 @@ def fetch_packed_rle(packed_dev) -> np.ndarray:
     Falls back to the dense fetch per plane when the run count approaches the
     dense size (e.g. uncorrelated noise). The run count crossing the link
     first also serves as the completion sync for the device pipeline."""
+    from multitalent_tpu.utils.alloc import fast_empty
     shape = tuple(packed_dev.shape)
     w = shape[-1]
     n = int(np.prod(shape[:-1]))
-    out = np.empty(shape, np.uint32)
+    out = fast_empty(shape, np.uint32)
     for wi in range(w):
         plane = jnp.ravel(packed_dev[..., wi])
         cnt = int(_rle_count(plane))
@@ -524,16 +527,23 @@ def fetch_packed_rle(packed_dev) -> np.ndarray:
         starts, vals = _rle_encode(plane, bucket)
         s = np.asarray(starts)[:cnt]
         v = np.asarray(vals)[:cnt]
-        lengths = np.diff(np.append(s, n))
-        out[..., wi] = np.repeat(v, lengths).reshape(shape[:-1])
+        flat_plane = out.reshape(n, w)[:, wi]
+        if not native.rle_expand_u32(s, v, n, flat_plane):
+            lengths = np.diff(np.append(s, n))
+            flat_plane[:] = np.repeat(v, lengths)
     return out
 
 
 def unpack_class_bits(packed_zyxw: np.ndarray, num_classes: int) -> np.ndarray:
     """uint32 bit words (Z, Y, X, ceil(K/32)) -> bool masks (K, Z, Y, X);
-    inverse of the device-side packing in finalize_packed. Runs through
-    np.unpackbits on a little-endian byte view — ~90x faster than shifting
-    per-bit in numpy (1.6 s vs 145 s at (256,320,320,2) on one core)."""
+    inverse of the device-side packing in finalize_packed. Native C expansion
+    (native/cc3d.cpp unpack_class_bits): the numpy np.unpackbits +
+    strided-astype chain costs ~100 s per (256,320,320,47) volume on a slow
+    host core, the single-pass blocked C loop ~2 s."""
+    from multitalent_tpu import native
+    out = native.unpack_class_bits(packed_zyxw, num_classes)
+    if out is not None:
+        return out
     packed_zyxw = np.ascontiguousarray(packed_zyxw)
     bits = np.unpackbits(packed_zyxw.view(np.uint8), axis=-1,
                          bitorder="little")

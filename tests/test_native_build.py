@@ -84,3 +84,32 @@ def test_vendored_binary_agrees_with_fresh_build(fresh_lib):
     np.testing.assert_array_equal(fresh != 0, vendored != 0)
     pairs = {(int(a), int(b)) for a, b in zip(fresh[mask], vendored[mask])}
     assert len(pairs) == n_fresh
+
+
+def test_native_rle_expand_strided_matches_repeat():
+    rng = np.random.RandomState(7)
+    n, w = 4096, 3
+    starts = np.concatenate(
+        [[0], np.sort(rng.choice(np.arange(1, n), size=60, replace=False))]
+    ).astype(np.int32)
+    vals = rng.randint(0, 2**31, size=starts.shape[0]).astype(np.uint32)
+    out = np.zeros((n, w), np.uint32)
+    if not native.rle_expand_u32(starts, vals, n, out[:, 1]):
+        pytest.skip("native lib unavailable")
+    lengths = np.diff(np.append(starts, n))
+    np.testing.assert_array_equal(out[:, 1], np.repeat(vals, lengths))
+    assert not out[:, 0].any() and not out[:, 2].any()
+
+
+def test_fast_empty_and_zeros():
+    from multitalent_tpu.utils.alloc import fast_empty, fast_zeros
+    # large: huge-page mmap path (writable, correct shape/dtype)
+    a = fast_empty((64, 1024, 1024), np.uint8)  # 64 MB
+    assert a.shape == (64, 1024, 1024) and a.dtype == np.uint8
+    a[::7] = 3
+    assert (a[::7] == 3).all()
+    z = fast_zeros((64, 1024, 1024), np.uint8)
+    assert not z.any()
+    # small: plain numpy path
+    s = fast_zeros((4, 4), np.float32)
+    assert s.base is None and not s.any()
