@@ -97,6 +97,36 @@ def a100_baseline_volumes_per_min(volume_shape) -> float:
     return a100_flops_per_s * 60.0 / vol_flops
 
 
+def _phantom_volume(shape) -> np.ndarray:
+    """Structured synthetic CT (1, Z, Y, X): a body cylinder with a few
+    ellipsoidal 'organs' of distinct intensity plus mild noise. White noise
+    would make every thresholded region mask spatially incoherent, which
+    defeats the RLE-compressed device->host fetch that real (anatomically
+    coherent) predictions hit — the bench must exercise the production path,
+    not an adversarial one."""
+    rs = np.random.RandomState(0)
+    z, y, x = shape
+    zz = np.linspace(-1, 1, z, dtype=np.float32)[:, None, None]
+    yy = np.linspace(-1, 1, y, dtype=np.float32)[None, :, None]
+    xx = np.linspace(-1, 1, x, dtype=np.float32)[None, None, :]
+    vol = np.full(shape, -1.0, np.float32)
+    body = (yy ** 2 + xx ** 2) < 0.81  # (1, y, x), broadcasts over z
+    vol[np.broadcast_to(body, shape)] = 0.0
+    organs = [(rs.uniform(-0.5, 0.5, 3), rs.uniform(0.1, 0.35, 3),
+               rs.uniform(0.3, 1.5)) for _ in range(6)]
+    scratch = np.empty((y, x), np.float32)
+    for iz in range(z):  # slab-wise: avoids multi-GB (z,y,x) temporaries
+        vz = vol[iz]
+        for c, r, val in organs:
+            d = np.square((zz[iz, 0, 0] - c[0]) / r[0])
+            scratch[:] = d
+            scratch += np.square((yy[0] - c[1]) / r[1])
+            scratch += np.square((xx[0] - c[2]) / r[2])
+            vz[(scratch < 1.0) & body[0] & (vz >= 0.0)] = val
+        vz += rs.randn(y, x).astype(np.float32) * 0.05
+    return vol[None]
+
+
 def pick_device():
     """Default accelerator if it answers a tiny jitted op within a timeout, else
     the host CPU (tunnelled TPU backends can be reachable but hung)."""
@@ -172,7 +202,7 @@ def _measure(device, on_tpu: bool) -> dict:
         step_size=0.5, do_mirroring=True, mirror_axes=(0, 1, 2),
         use_gaussian=True, device=device)
 
-    vol = np.random.RandomState(0).randn(1, *volume_shape).astype(np.float32)
+    vol = _phantom_volume(volume_shape)
 
     # warmup: compile + one full pass (incl. host fetch). The measured artifact
     # is predict_MultiTalent's: 47 thresholded binary region masks
