@@ -217,20 +217,25 @@ def _measure(device, on_tpu: bool) -> dict:
     assert out.shape == (47, *volume_shape)
 
     # pipelined throughput, as predict_cases runs in production: volume i's
-    # device->host fetch overlaps volume i+1's compute. The headline is the
-    # MEDIAN repeat (steady-state behavior); per_repeat_s and best_s are
+    # RLE encodes are enqueued while the device is idle, THEN volume i+1's
+    # compute is dispatched, and volume i's device->host transfer + host
+    # unpack overlap that compute (the device stream is in-order, so encodes
+    # dispatched after the next volume would queue behind it). The headline is
+    # the MEDIAN repeat (steady-state behavior); per_repeat_s and best_s are
     # reported alongside because the tunnelled relay's latency fluctuates
     # with its compile-queue state.
+    from multitalent_tpu.ops.sliding_window import (rle_fetch_begin,
+                                                    rle_fetch_finish)
     n_repeats = 3 if on_tpu else 1
     pending = None
     per_repeat = []
     for _ in range(n_repeats):
         t0 = time.time()
+        token = rle_fetch_begin(pending[0]) if pending is not None else None
         packed_dev, slicer = predictor.predict_to_device(params, vol,
                                                          pack_threshold=0.5)
         if pending is not None:
-            pk = fetch_packed_rle(pending[0])[tuple(pending[1])
-                                              + (slice(None),)]
+            pk = rle_fetch_finish(token)[tuple(pending[1]) + (slice(None),)]
             unpack_class_bits(pk, 47)
         pending = (packed_dev, slicer)
         jax.block_until_ready(packed_dev)

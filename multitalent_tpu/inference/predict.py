@@ -129,13 +129,16 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
             return False
         return can_export_on_device(properties)
 
-    def _flush_device(out_fname, probs_dev, slicer, properties):
+    def _flush_device_begin(probs_dev, slicer, properties):
+        """Dispatch the device-export programs (resample, threshold, argmax,
+        RLE encode) while the device is otherwise idle; the returned token's
+        transfers then overlap the next case's compute in _flush_device_finish
+        instead of queueing behind it on the (in-order) device stream."""
         import jax.numpy as jnp
         from multitalent_tpu.ops.device_export import (
-            device_resample_argmax, device_resample_threshold_packed,
-            segmentation_from_regions_packed)
-        from multitalent_tpu.inference.segmentation_export import (
-            save_segmentation_nifti)
+            device_argmax_resample_nearest, device_resample_argmax,
+            device_resample_threshold_packed)
+        from multitalent_tpu.ops.sliding_window import rle_fetch_begin
         probs_c = probs_dev[tuple(slicer) + (slice(None),)]
         # undo the planner's axis transpose on device (size_after_cropping is
         # in the original axis order, predict.py:222-235 analog)
@@ -143,24 +146,35 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
         if tb is not None and list(tb) != [0, 1, 2]:
             probs_c = jnp.transpose(probs_c, [int(i) for i in tb] + [3])
         out_shape = tuple(int(s) for s in properties["size_after_cropping"])
-        packed = None
+        packed_token = None
         if region_class_order is not None or export_region_niftis:
             # mean > 0.5  <=>  fold-sum > 0.5 * n_folds
-            from multitalent_tpu.ops.sliding_window import fetch_packed_rle
-            packed = fetch_packed_rle(device_resample_threshold_packed(
+            packed_token = rle_fetch_begin(device_resample_threshold_packed(
                 probs_c, out_shape, threshold=0.5 * len(all_fold_params)))
+        seg_dev = None
+        if region_class_order is None:
+            if fast_mode == "fastest":
+                seg_dev = device_argmax_resample_nearest(probs_c, out_shape)
+            else:
+                # softmax model: the main labelmap is ALWAYS argmax (matching
+                # the host path, save_segmentation_nifti_from_softmax with
+                # region_class_order=None); the packed thresholded bits serve
+                # only the per-region niftis below
+                seg_dev = device_resample_argmax(probs_c, out_shape)
+        return packed_token, seg_dev
+
+    def _flush_device_finish(out_fname, properties, packed_token, seg_dev):
+        from multitalent_tpu.ops.device_export import (
+            segmentation_from_regions_packed)
+        from multitalent_tpu.ops.sliding_window import rle_fetch_finish
+        from multitalent_tpu.inference.segmentation_export import (
+            save_segmentation_nifti)
+        packed = (rle_fetch_finish(packed_token)
+                  if packed_token is not None else None)
         if region_class_order is not None:
             seg = segmentation_from_regions_packed(packed, region_class_order)
-        elif fast_mode == "fastest":
-            from multitalent_tpu.ops.device_export import (
-                device_argmax_resample_nearest)
-            seg = np.asarray(device_argmax_resample_nearest(probs_c, out_shape))
         else:
-            # softmax model: the main labelmap is ALWAYS argmax (matching the
-            # host path, save_segmentation_nifti_from_softmax with
-            # region_class_order=None); the packed thresholded bits serve only
-            # the per-region niftis below
-            seg = np.asarray(device_resample_argmax(probs_c, out_shape))
+            seg = np.asarray(seg_dev)
         maybe_mkdir(os.path.dirname(out_fname) or ".")
         futures.append(export_pool.submit(
             save_segmentation_nifti, seg.astype(np.float32), out_fname,
@@ -177,10 +191,16 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
                     save_segmentation_nifti, mask.astype(np.float32),
                     os.path.join(rdir, case_id + ".nii.gz"), dict(properties)))
 
-    def flush(pending):
+    def flush_begin(pending):
         out_fname, probs_dev, slicer, properties = pending
         if _device_export_applicable(properties):
-            _flush_device(out_fname, probs_dev, slicer, properties)
+            return _flush_device_begin(probs_dev, slicer, properties)
+        return None
+
+    def flush_finish(pending, token):
+        out_fname, probs_dev, slicer, properties = pending
+        if token is not None:
+            _flush_device_finish(out_fname, properties, *token)
             return
         probs_mean = predictor.fetch(probs_dev, slicer) / len(all_fold_params)
         _export(out_fname, probs_mean, properties)
@@ -205,12 +225,16 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
                     1, ((1,),)))
 
     for out_fname, (data, properties) in zip(output_filenames, preprocessed):
+        # pipeline: enqueue the PREVIOUS case's export programs first (device
+        # is idle here), dispatch this case's compute, then fetch + write the
+        # previous case's outputs while this case computes
+        token = flush_begin(pending) if pending is not None else None
         probs_dev, slicer = run_case(data)
         if pending is not None:
-            flush(pending)  # overlaps with the dispatched compute above
+            flush_finish(pending, token)
         pending = (out_fname, probs_dev, slicer, properties)
     if pending is not None:
-        flush(pending)
+        flush_finish(pending, flush_begin(pending))
 
     for f in futures:
         f.result()

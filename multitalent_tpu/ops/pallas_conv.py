@@ -88,6 +88,11 @@ def _conv_kernel(x_ref, w_ref, out_ref, xblk, sems, *, bz, by, bx, c, cout,
         # only; the 64 transform-domain GEMMs run staged per (a, b) pair with
         # the inverse accumulated on the fly, so at most ~20 [M_b, c] arrays
         # are live at once.
+        #
+        # Mosaic cannot lower strided slices (they become gathers), so all
+        # stride-2 phase picks are expressed as even-split reshapes + static
+        # indexing: free on the major z/y dims; on the sublane x dim one
+        # deinterleave relayout up front replaces the 16 strided slices.
         hz, hy, hx = bz // 2, by // 2, bx // 2
         mb = hz * hy * hx
         xv = xblk[slot]
@@ -96,18 +101,37 @@ def _conv_kernel(x_ref, w_ref, out_ref, xblk, sems, *, bz, by, bx, c, cout,
             # B^T rows: (1,0,-1,0), (0,1,1,0), (0,-1,1,0), (0,1,0,-1)
             return [v[0] - v[2], v[1] + v[2], v[2] - v[1], v[1] - v[3]]
 
-        # z-pass: strided (major-dim) slices, 4 arrays [hz, by+2, bx+16, c]
-        t1 = bt([xv[za:za + bz:2] for za in range(4)])
+        def phase_slices(arr, axis, half_len):
+            """arr split along `axis` (even length) into stride-2 phase views:
+            returns s[q] == arr.take(range(q, q+2*half_len, 2), axis) for
+            q in 0..3, via reshape (..., L/2, 2, ...) + static index/slice."""
+            shp = arr.shape
+            view = arr.reshape(shp[:axis] + (shp[axis] // 2, 2)
+                               + shp[axis + 1:])
+            out = []
+            for q in range(4):
+                sl = [slice(None)] * view.ndim
+                sl[axis] = slice(q // 2, q // 2 + half_len)
+                sl[axis + 1] = q % 2
+                out.append(view[tuple(sl)])
+            return out
+
+        # z-pass: 4 arrays [hz, by+2, bx+16, c]
+        t1 = bt(phase_slices(xv, 0, hz))
         # y-pass: 16 arrays [hz, hy, bx+16, c]
-        t2 = [bt([ta[:, yb_:yb_ + by:2] for yb_ in range(4)]) for ta in t1]
+        t2 = [bt(phase_slices(ta, 1, hy)) for ta in t1]
 
         at_rows = ((1.0, 1.0, 1.0, 0.0), (0.0, 1.0, -1.0, -1.0))
         acc = {}
         for a in range(4):
             for b in range(4):
-                # x-pass (sublane stride 2): 4 arrays [hz, hy, hx, c]
-                t3 = bt([t2[a][b][:, :, 7 + xc:7 + xc + bx:2]
-                         for xc in range(4)])
+                # x-pass: deinterleave sublanes once ([.., bx+16, c] ->
+                # [.., (bx+16)/2, 2, c]), then static phase picks. The +-1
+                # halo sits at offset 7..bx+9, so pick xc starts at sublane
+                # 7+xc = pair (7+xc)//2, phase (7+xc)%2.
+                xs = t2[a][b].reshape(hz, hy, (bx + 16) // 2, 2, c)
+                t3 = bt([xs[:, :, (7 + xc) // 2:(7 + xc) // 2 + hx,
+                            (7 + xc) % 2] for xc in range(4)])
                 for cc in range(4):
                     idx = (a * 4 + b) * 4 + cc
                     yab = jnp.dot(t3[cc].reshape(mb, c), w_ref[idx],

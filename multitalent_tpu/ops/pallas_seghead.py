@@ -1,0 +1,126 @@
+"""Fused seg-head for packed execution: 1x1x1 conv + depth-to-space in one kernel.
+
+The packed UNet's final stage ends with a pointwise seg head producing 47
+region channels per packing phase, followed by depth_to_space back to voxel
+layout (ops/packed_unet.py seg-head branch). As separate XLA ops the
+depth-to-space of the (N, 96, 192, 192, 47) fp32 logits costs three full-size
+layout copies (~14 ms of the 124 ms b2 forward on v5e — measured by xprof);
+fundamentally it is one read of the packed GEMM result that never needed to
+hit HBM at all.
+
+This kernel runs the phase-grouped head GEMM ([M, P*C] x block-diagonal
+[P*C, P*K]) and performs the phase->space interleave in VMEM before the block
+is written, so the only HBM traffic is the bf16 packed input once in and the
+voxel-layout logits once out.
+
+Reference behavior being fused: the 1x1x1 seg_outputs conv of
+generic_UNet.py:349-351 at inference (only the full-resolution head,
+neural_network.py:405).
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, w_ref, b_ref, out_ref, *, bz, by, bx, fy, fx, k, zb):
+    xb = x_ref[0]                       # (bz, by, bx, P*C)
+    m = bz * by * bx
+    pc = xb.shape[-1]
+    g = jnp.dot(xb.reshape(m, pc), w_ref[:],
+                preferred_element_type=jnp.float32)      # (m, P*K)
+    g = g + b_ref[:]
+    # phase -> space: (bz, by, bx, fy, fx, K) -> interleave fy into y, fx into x
+    g = g.reshape(bz, by, bx, fy, fx, k)
+    g = g.transpose(0, 1, 3, 2, 4, 5)
+    out_ref[0] = g.reshape(bz, by * fy, bx * fx, k).astype(out_ref.dtype)
+
+
+@lru_cache(maxsize=32)
+def _build(n, z, yp, xp, pc, k, fy, fx, in_dtype, out_dtype, bz, by, bx,
+           interpret=False):
+    zb = z // bz
+    grid = (n * zb, yp // by, xp // bx)
+    kernel = partial(_kernel, bz=bz, by=by, bx=bx, fy=fy, fx=fx, k=k, zb=zb)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bz, by, bx, pc),
+                         lambda i, j, kk, zb=zb: (i // zb, i % zb, j, kk, 0)),
+            pl.BlockSpec((pc, fy * fx * k), lambda i, j, kk: (0, 0)),
+            pl.BlockSpec((1, fy * fx * k), lambda i, j, kk: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bz, by * fy, bx * fx, k),
+            lambda i, j, kk, zb=zb: (i // zb, i % zb, j, kk, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, z, yp * fy, xp * fx, k),
+                                       jnp.dtype(out_dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * z * yp * xp * pc * fy * fx * k,
+            bytes_accessed=(n * z * yp * xp * pc * 2
+                            + n * z * yp * fy * xp * fx * k * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+
+def _pick_blocks(z, yp, xp):
+    def best(dim, targets):
+        for t in targets:
+            if dim % t == 0:
+                return t
+        return None
+    bz = best(z, (8, 6, 4, 12, 16, 2, 1))
+    by = best(yp, (16, 12, 8, 24, 6, 4))
+    bx = best(xp, (16, 8, 24, 32))
+    if None in (bz, by, bx):
+        return None
+    return bz, by, bx
+
+
+def seghead_d2s(x_packed, w, b=None, *, factors=(2, 2),
+                out_dtype=jnp.float32, interpret: bool = False):
+    """Pointwise seg head on a packed tensor, fused with depth_to_space_yx.
+
+    x_packed: (N, Z, Y', X', P*C); w: canonical (1, 1, 1, C, K); b: (K,) or
+    None. Returns (N, Z, Y'*fy, X'*fx, K) in `out_dtype`. Equals
+    depth_to_space_yx(packed_pointwise_conv3d(x, w, tile(b)), factors).
+    Raises ValueError when the shape is unsupported (callers fall back)."""
+    fy, fx = int(factors[0]), int(factors[1])
+    p = fy * fx
+    n, z, yp, xp, pc = x_packed.shape
+    kz, ky, kx, c, k = w.shape
+    if (kz, ky, kx) != (1, 1, 1) or pc != p * c:
+        raise ValueError("unsupported seg head shape")
+    if not interpret and jax.default_backend() != "tpu":
+        raise ValueError("pallas seghead requires a TPU backend")
+    blocks = _pick_blocks(z, yp, xp)
+    if blocks is None:
+        raise ValueError("unsupported spatial shape")
+    bz, by, bx = blocks
+    # block-diagonal weights: phase group p of the input feeds output cols
+    # [p*K, (p+1)*K) — one GEMM covers all phases, zeros elsewhere
+    w2 = w[0, 0, 0].astype(x_packed.dtype)            # (C, K)
+    wbd = jnp.zeros((p * c, p * k), x_packed.dtype)
+    for ph in range(p):
+        wbd = jax.lax.dynamic_update_slice(
+            wbd, w2, (ph * c, ph * k))
+    bias = jnp.zeros((1, p * k), jnp.float32) if b is None else \
+        jnp.tile(b.astype(jnp.float32), p)[None]
+    call = _build(n, z, yp, xp, pc, k, fy, fx, str(x_packed.dtype),
+                  str(jnp.dtype(out_dtype)), bz, by, bx, interpret)
+    return call(x_packed, wbd, bias)
+
+
+def seghead_enabled() -> bool:
+    import os
+    val = os.environ.get("MTTPU_PALLAS_SEGHEAD")
+    if val is not None:
+        return val != "0"
+    return jax.devices()[0].platform == "tpu"

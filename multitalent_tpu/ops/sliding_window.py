@@ -501,6 +501,50 @@ def _rle_encode(flat, cap: int):
     return starts, vals
 
 
+def rle_fetch_begin(packed_dev):
+    """Dispatch the device-side RLE encodes for a finalize_packed result and
+    return a token for rle_fetch_finish.
+
+    Split from the fetch so a pipelined caller (bench.py, predict_cases) can
+    enqueue the encodes while the device is idle — reading the run counts here
+    synchronizes on packed_dev — and only then dispatch the NEXT volume's
+    compute: the token's device->host transfers and the host-side expansion in
+    rle_fetch_finish then overlap that compute instead of queueing behind it."""
+    shape = tuple(packed_dev.shape)
+    w = shape[-1]
+    n = int(np.prod(shape[:-1]))
+    planes = []
+    for wi in range(w):
+        plane = jnp.ravel(packed_dev[..., wi])
+        cnt = int(_rle_count(plane))
+        bucket = next((b for b in _RLE_BUCKETS if b >= cnt), None)
+        if bucket is None or bucket * 8 >= n * 4:
+            planes.append((None, plane, None))
+            continue
+        starts, vals = _rle_encode(plane, bucket)
+        planes.append((cnt, starts, vals))
+    return shape, n, planes
+
+
+def rle_fetch_finish(token) -> np.ndarray:
+    """Transfer + expand a rle_fetch_begin token into the dense uint32 words."""
+    from multitalent_tpu.utils.alloc import fast_empty
+    shape, n, planes = token
+    w = shape[-1]
+    out = fast_empty(shape, np.uint32)
+    for wi, (cnt, a, b) in enumerate(planes):
+        if cnt is None:
+            out[..., wi] = np.asarray(a).reshape(shape[:-1])
+            continue
+        s = np.asarray(a)[:cnt]
+        v = np.asarray(b)[:cnt]
+        flat_plane = out.reshape(n, w)[:, wi]
+        if not native.rle_expand_u32(s, v, n, flat_plane):
+            lengths = np.diff(np.append(s, n))
+            flat_plane[:] = np.repeat(v, lengths)
+    return out
+
+
 def fetch_packed_rle(packed_dev) -> np.ndarray:
     """Fetch a finalize_packed result (Z, Y, X, W uint32) via device-side
     run-length encoding of each bit-word plane.
@@ -512,26 +556,7 @@ def fetch_packed_rle(packed_dev) -> np.ndarray:
     Falls back to the dense fetch per plane when the run count approaches the
     dense size (e.g. uncorrelated noise). The run count crossing the link
     first also serves as the completion sync for the device pipeline."""
-    from multitalent_tpu.utils.alloc import fast_empty
-    shape = tuple(packed_dev.shape)
-    w = shape[-1]
-    n = int(np.prod(shape[:-1]))
-    out = fast_empty(shape, np.uint32)
-    for wi in range(w):
-        plane = jnp.ravel(packed_dev[..., wi])
-        cnt = int(_rle_count(plane))
-        bucket = next((b for b in _RLE_BUCKETS if b >= cnt), None)
-        if bucket is None or bucket * 8 >= n * 4:
-            out[..., wi] = np.asarray(plane).reshape(shape[:-1])
-            continue
-        starts, vals = _rle_encode(plane, bucket)
-        s = np.asarray(starts)[:cnt]
-        v = np.asarray(vals)[:cnt]
-        flat_plane = out.reshape(n, w)[:, wi]
-        if not native.rle_expand_u32(s, v, n, flat_plane):
-            lengths = np.diff(np.append(s, n))
-            flat_plane[:] = np.repeat(v, lengths)
-    return out
+    return rle_fetch_finish(rle_fetch_begin(packed_dev))
 
 
 def unpack_class_bits(packed_zyxw: np.ndarray, num_classes: int) -> np.ndarray:

@@ -141,6 +141,34 @@ def test_pallas_conv3d_wino_interpret_matches_lax(monkeypatch):
         np.testing.assert_allclose(ref, got, atol=2e-4, rtol=1e-3)
     pcv._build.cache_clear()
 
+def test_pallas_seghead_d2s_interpret_matches_reference():
+    """Fused seg-head (pointwise conv + depth-to-space) vs the two-op packed
+    reference path, interpret mode, both packing factor layouts."""
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.pallas_seghead import seghead_d2s
+    from multitalent_tpu.ops.packed_conv import (depth_to_space_yx, nphases,
+                                                 packed_pointwise_conv3d)
+    rngl = np.random.RandomState(12)
+    for factors, shape, c, k in [((2, 2), (1, 8, 16, 16), 12, 5),
+                                 ((1, 2), (2, 4, 12, 8), 24, 47)]:
+        p = nphases(factors)
+        x = jnp.asarray(rngl.randn(*shape, p * c).astype(np.float32))
+        w = jnp.asarray(rngl.randn(1, 1, 1, c, k).astype(np.float32))
+        b = jnp.asarray(rngl.randn(k).astype(np.float32))
+        ref = depth_to_space_yx(
+            packed_pointwise_conv3d(x, w, jnp.tile(b, p), factors=factors),
+            factors)
+        got = seghead_d2s(x, w, b, factors=factors, interpret=True)
+        assert got.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=2e-4, rtol=1e-3)
+        nob = seghead_d2s(x, w, None, factors=factors, interpret=True)
+        ref_nob = depth_to_space_yx(
+            packed_pointwise_conv3d(x, w, None, factors=factors), factors)
+        np.testing.assert_allclose(np.asarray(ref_nob), np.asarray(nob),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_pallas_wgrad_interpret_matches_vjp():
     """dw kernel (pallas_conv3d_same_wgrad) vs the XLA conv vjp, interpret
     mode, incl. a multi-block grid and Cin != Cout."""
