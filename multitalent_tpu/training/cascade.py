@@ -183,8 +183,7 @@ class TrainerV2CascadeFullRes(TrainerV2):
                 data = splan.constrain_activations(data, channels_last=True)
             return data
 
-        def train_step(state, rng, data_bc, seg_b2, extras):
-            data, targets = augment(rng, data_bc, seg_b2)
+        def train_core(state, data, targets, extras):
             data = _constrain(data)
 
             def compute(params):
@@ -197,6 +196,10 @@ class TrainerV2CascadeFullRes(TrainerV2):
             state = state.apply_gradients(grads)
             return state, loss, aux
 
+        def train_step(state, rng, data_bc, seg_b2, extras):
+            data, targets = augment(rng, data_bc, seg_b2)
+            return train_core(state, data, targets, extras)
+
         def eval_step(state, data_bc, seg_b2, extras):
             data, targets = val_transform(data_bc, seg_b2)
             data = _constrain(data)
@@ -205,7 +208,20 @@ class TrainerV2CascadeFullRes(TrainerV2):
             loss, aux = self.loss_fn(outputs, targets, extras)
             return loss, aux, self.eval_stats(outputs, targets, extras)
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        if splan is not None and splan.space_axis is not None:
+            # see trainers.py: spatially-sharded plans run augmentation as a
+            # separate batch-only program — the SPMD partitioner miscompiles
+            # the warp gathers under spatial sharding (key-dependent inf/NaN)
+            aug_fn = jax.jit(augment, out_shardings=splan.batch_sharding)
+            core_fn = jax.jit(train_core, donate_argnums=(0,))
+
+            def _train(state, rng, data_bc, seg_b2, extras):
+                data, targets = aug_fn(rng, data_bc, seg_b2)
+                return core_fn(state, data, targets, extras)
+
+            self._train_step = _train
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
     def predict_preprocessed_data_return_seg_and_softmax(
