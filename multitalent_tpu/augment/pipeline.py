@@ -127,6 +127,11 @@ def make_cascade_augment_fn(final_patch_size, ds_scales, params,
     scale_range = tuple(params["scale_range"])
     dummy_2d = bool(params.get("dummy_2D", False))
     p_binary = float(params.get("cascade_random_binary_transform_p", 0.4))
+    p_binary_label = float(
+        params.get("cascade_random_binary_transform_p_per_label", 1.0))
+    strel_range = tuple(
+        params.get("cascade_random_binary_transform_size", (1, 8)))
+    strel_size = max(1, int(round(sum(strel_range) / 2.0)))
     mirror_axes = tuple(params.get("mirror_axes", (0, 1, 2)))
     do_mirror = bool(params.get("do_mirror", True))
 
@@ -158,7 +163,9 @@ def make_cascade_augment_fn(final_patch_size, ds_scales, params,
             p_rot=params.get("p_rot", 0.2), p_scale=params.get("p_scale", 0.2),
             order_seg=1, dummy_2d=dummy_2d)
         prev_w = (prev_w > 0.5).astype(jnp.float32)
-        prev_w = S_random_binary_morphology(k_morph, prev_w, p_binary)
+        prev_w = S_random_binary_morphology(k_morph, prev_w, p_binary,
+                                            size=strel_size,
+                                            p_per_label=p_binary_label)
 
         full = jnp.concatenate([data, prev_w], axis=-1)
         if do_mirror:
@@ -170,13 +177,20 @@ def make_cascade_augment_fn(final_patch_size, ds_scales, params,
     return augment
 
 
-def S_random_binary_morphology(rng, onehot, p_per_channel: float = 0.4,
-                               size: int = 3):
+def S_random_binary_morphology(rng, onehot, p_per_sample: float = 0.4,
+                               size: int = 3, p_per_label: float = 1.0):
     """Random per-(sample, channel) binary dilation or erosion via max/min pooling
-    (structuring element = cube of `size`)."""
+    (structuring element = cube of `size`). Two-level gating matches
+    ApplyRandomBinaryOperatorTransform (pyramid_augmentations.py:95-130):
+    a per-sample draw against p_per_sample, then per-label draws against
+    p_per_label. The reference samples the structuring-element size per
+    application from a range; the pooling window must be static under jit, so
+    callers pass the range's midpoint (documented deviation)."""
     b, c = onehot.shape[0], onehot.shape[-1]
-    k_do, k_op = jax.random.split(rng)
-    do = jax.random.uniform(k_do, (b, c)) < p_per_channel
+    k_do, k_lab, k_op = jax.random.split(rng, 3)
+    do_sample = jax.random.uniform(k_do, (b, 1)) < p_per_sample
+    do_label = jax.random.uniform(k_lab, (b, c)) < p_per_label
+    do = do_sample & do_label
     dilate = jax.random.bernoulli(k_op, 0.5, (b, c))
     window = (1,) + (size,) * (onehot.ndim - 2) + (1,)
     ones = (1,) * onehot.ndim

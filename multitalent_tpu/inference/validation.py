@@ -42,6 +42,13 @@ def run_validation(trainer, do_mirroring: bool = True, use_sliding_window: bool 
         "validation_folder_name": validation_folder_name,
     }, os.path.join(output_folder, "validation_args.json"))
 
+    # export resampling knobs (reference key names, nnUNetTrainer.validate:554):
+    # interpolation_order / force_separate_z / interpolation_order_z
+    ek = segmentation_export_kwargs or {}
+    order = int(ek.get("interpolation_order", 1))
+    force_sep_z = ek.get("force_separate_z", None)
+    order_z = int(ek.get("interpolation_order_z", 0))
+
     pool = _export_pool()
     futures = []
     for k in sorted(trainer.dataset_val.keys()):
@@ -57,8 +64,8 @@ def run_validation(trainer, do_mirroring: bool = True, use_sliding_window: bool 
         npz_fname = fname[:-7] + ".npz" if save_softmax else None
         futures.append(pool.submit(
             save_segmentation_nifti_from_softmax, np.asarray(softmax), fname,
-            properties, 1, trainer.regions_class_order, None, None, npz_fname,
-            None, None, 0))
+            properties, order, trainer.regions_class_order, None, None,
+            npz_fname, None, force_sep_z, order_z))
     for f in futures:
         f.result()
     pool.shutdown()

@@ -167,6 +167,9 @@ class ConvNormAct(nn.Module):
     use_bias: bool = True
     norm: str = "instance"
     nonlin: str = "leaky_relu"
+    # conv -> nonlin -> norm block order (ConvDropoutNonlinNorm,
+    # generic_UNet.py:73-86 / nnUNetTrainerV2_ReLU_convReLUIN.py:43)
+    nonlin_first: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -187,6 +190,9 @@ class ConvNormAct(nn.Module):
         )(x)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        if self.nonlin_first:
+            x = apply_nonlin(self.nonlin, x, self.negative_slope)
+            return make_norm(self.norm, "norm")(x)
         if (self.norm == "instance" and self.nonlin == "leaky_relu"
                 and use_pallas_norm()):
             return InstanceNorm(name="norm", fuse_lrelu=True,
@@ -210,6 +216,7 @@ class ConvStage(nn.Module):
     dtype: Any = jnp.bfloat16
     norm: str = "instance"
     nonlin: str = "leaky_relu"
+    nonlin_first: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -223,6 +230,7 @@ class ConvStage(nn.Module):
                 dtype=self.dtype,
                 norm=self.norm,
                 nonlin=self.nonlin,
+                nonlin_first=self.nonlin_first,
                 name=f"block{i}",
             )(x, deterministic=deterministic)
         return x

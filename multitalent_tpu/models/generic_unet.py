@@ -54,6 +54,8 @@ class GenericUNet(nn.Module):
     # norm in {instance,batch,group,frn,none}; nonlin in {leaky_relu,relu,gelu,mish}
     norm: str = "instance"
     nonlin: str = "leaky_relu"
+    # conv -> nonlin -> norm order (basic_block=ConvDropoutNonlinNorm variants)
+    nonlin_first: bool = False
     seg_output_bias: bool = False  # _biasInSegOutput variants
 
     @property
@@ -85,6 +87,7 @@ class GenericUNet(nn.Module):
                 dtype=self.dtype,
                 norm=self.norm,
                 nonlin=self.nonlin,
+                nonlin_first=self.nonlin_first,
                 name=f"enc{d}",
             )(x, deterministic=deterministic)
             skips.append(x)
@@ -130,6 +133,7 @@ class GenericUNet(nn.Module):
                 dtype=self.dtype,
                 norm=self.norm,
                 nonlin=self.nonlin,
+                nonlin_first=self.nonlin_first,
                 name=f"dec{u}",
             )(x, deterministic=deterministic)
             logits = nn.Conv(

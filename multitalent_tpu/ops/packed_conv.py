@@ -280,6 +280,54 @@ def packed_pointwise_conv3d(x_packed: jax.Array, w: jax.Array, b=None, *,
 # packed InstanceNorm statistics
 # ---------------------------------------------------------------------------
 
+def channel_stats(x_packed: jax.Array) -> jax.Array:
+    """Per-sample per-(packed-)channel sum and sum of squares: (N, 2, PC).
+    Same convention as the stats output of pallas_conv3d_same_affine."""
+    xf = x_packed.astype(jnp.float32)
+    axes = tuple(range(1, x_packed.ndim - 1))
+    return jnp.stack([jnp.sum(xf, axis=axes),
+                      jnp.sum(xf * xf, axis=axes)], axis=1)
+
+
+def stats_affine(stats: jax.Array, scale: jax.Array, bias: jax.Array, *,
+                 factors=(F, F), nvox: int, eps: float = 1e-5):
+    """Instance-norm affine from precomputed channel stats.
+
+    stats: (N, 2, P*C) sum/sumsq per packed channel (phase-major groups);
+    scale/bias: per ORIGINAL channel (C,); nvox: packed spatial voxels
+    (Z * Y' * X'). Returns per-sample (scale_pc, shift_pc), each (N, P*C),
+    such that x * scale_pc + shift_pc == instance_norm(x) * scale + bias with
+    statistics over the original spatial dims (all phases of a channel)."""
+    p = nphases(factors)
+    n = stats.shape[0]
+    c = stats.shape[-1] // p
+    s = stats.reshape(n, 2, p, c)
+    denom = float(p * nvox)
+    mean = jnp.sum(s[:, 0], axis=1) / denom                      # (N, C)
+    var = jnp.sum(s[:, 1], axis=1) / denom - mean * mean
+    sc = scale.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
+    sh = bias.astype(jnp.float32) - mean * sc
+    return jnp.tile(sc, (1, p)), jnp.tile(sh, (1, p))
+
+
+def normalize_from_stats(x_packed: jax.Array, stats: jax.Array,
+                         scale: jax.Array, bias: jax.Array, *,
+                         factors=(F, F), eps: float = 1e-5,
+                         negative_slope: float | None = None) -> jax.Array:
+    """packed_instance_norm given precomputed stats — elementwise only, no
+    reduction pass over the activation."""
+    nvox = int(np.prod(x_packed.shape[1:-1]))
+    sc, sh = stats_affine(stats, scale, bias, factors=factors, nvox=nvox,
+                          eps=eps)
+    bshape = (x_packed.shape[0],) + (1,) * (x_packed.ndim - 2) + (-1,)
+    out = x_packed.astype(jnp.float32) * sc.reshape(bshape) + sh.reshape(bshape)
+    # cast before the activation, matching InstanceNorm -> leaky_relu in blocks.py
+    out = out.astype(x_packed.dtype)
+    if negative_slope is not None:
+        out = jnp.where(out >= 0, out, out * negative_slope)
+    return out
+
+
 def packed_instance_norm(x_packed: jax.Array, scale: jax.Array,
                          bias: jax.Array, *, factors=(F, F), eps: float = 1e-5,
                          negative_slope: float | None = None) -> jax.Array:

@@ -219,11 +219,27 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
             hw = hp["kernel"]
             hb = hp.get("bias") if model.seg_output_bias else None
             if cur != UNPACKED:
-                logits = pc.packed_pointwise_conv3d(
-                    x.astype(dtype), hw.astype(dtype),
-                    jnp.tile(hb.astype(dtype), pc.nphases(cur))
-                    if hb is not None else None, factors=cur)
-                logits = pc.depth_to_space_yx(logits, cur)
+                logits = None
+                if not deep_supervision:
+                    # inference: fused GEMM + depth-to-space kernel keeps the
+                    # packed head result out of HBM (saves ~14 ms of layout
+                    # copies per b2 forward on v5e, measured by xprof)
+                    from multitalent_tpu.ops.pallas_seghead import (
+                        seghead_d2s, seghead_enabled)
+                    if seghead_enabled():
+                        try:
+                            logits = seghead_d2s(
+                                x.astype(dtype), hw,
+                                hb.astype(jnp.float32)
+                                if hb is not None else None, factors=cur)
+                        except ValueError:
+                            logits = None
+                if logits is None:
+                    logits = pc.packed_pointwise_conv3d(
+                        x.astype(dtype), hw.astype(dtype),
+                        jnp.tile(hb.astype(dtype), pc.nphases(cur))
+                        if hb is not None else None, factors=cur)
+                    logits = pc.depth_to_space_yx(logits, cur)
             else:
                 logits = _conv_same(x, hw, hb, dtype=dtype)
             seg_outputs.append(logits.astype(jnp.float32))
@@ -231,6 +247,167 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
     if deep_supervision:
         return seg_outputs[::-1]
     return seg_outputs[-1]
+
+
+def packed_unet_forward_fused(model: GenericUNet, params, x, *,
+                              pack_max_channels: int = 128,
+                              interpret: bool = False):
+    """Inference forward equal to packed_unet_forward(deep_supervision=False)
+    with the conv->InstanceNorm->LeakyReLU chains fused into the Pallas conv
+    kernel (pallas_conv3d_same_affine): each stride-1 conv consumes the
+    previous conv's RAW output, applying its normalize+activation in the
+    kernel prologue, and emits channel stats so the next norm needs no
+    reduction pass. Post-norm activations are materialized only where a
+    non-conv consumer needs them (skips/concats, strided and transposed convs,
+    the seg head). Raises ValueError when a shape doesn't fit the kernels
+    (callers fall back to packed_unet_forward)."""
+    from multitalent_tpu.ops.pallas_conv import pallas_conv3d_same_affine
+    from multitalent_tpu.ops.pallas_seghead import seghead_d2s
+
+    num_pool = model.num_pool
+    dtype = model.dtype
+    slope = model.negative_slope
+    sfactors = stage_factors(model, x.shape[1:4], pack_max_channels)
+    if all(f == UNPACKED for f in sfactors):
+        # unpackable input: the small-channel full-res stages would waste the
+        # 128-lane kernels; let the caller fall back to packed_unet_forward
+        # (which itself falls back to model.apply)
+        raise ValueError("input not packable")
+
+    def fused_block(raw_in, bp, affine, factors):
+        """One conv block on the Pallas kernel: prologue applies `affine`
+        (None for an already-normalized input), returns (raw_out, stats).
+        Shapes the kernel's block grid can't tile (the deepest stages, spatial
+        extent < 8) fall back to the XLA affine + conv — negligible FLOPs."""
+        w, b = bp["conv"]["kernel"], bp["conv"]["bias"]
+        if factors != UNPACKED:
+            w = pc.pack_conv_weights(w.astype(dtype), factors)
+            b = jnp.tile(b, pc.nphases(factors))
+        if w.shape[:3] != (3, 3, 3):
+            raise ValueError("fused path requires 3x3x3 convs")
+        sc, sh = affine if affine is not None else (None, None)
+        try:
+            return pallas_conv3d_same_affine(
+                raw_in.astype(dtype), w.astype(dtype), bias=b,
+                in_scale=sc, in_shift=sh, negative_slope=slope,
+                interpret=interpret)
+        except ValueError:
+            x_in = raw_in.astype(dtype)
+            if affine is not None:
+                bshape = (x_in.shape[0],) + (1,) * (x_in.ndim - 2) + (-1,)
+                y = (x_in.astype(jnp.float32) * sc.reshape(bshape)
+                     + sh.reshape(bshape)).astype(dtype)
+                x_in = jnp.where(y >= 0, y, y * slope)
+            out = _conv_same(x_in, w, b, dtype=dtype)
+            return out, pc.channel_stats(out)
+
+    def affine_of(stats, bp, factors, nvox):
+        return pc.stats_affine(stats, bp["norm"]["scale"], bp["norm"]["bias"],
+                               factors=factors, nvox=nvox)
+
+    def materialize(raw, stats, bp, factors):
+        return pc.normalize_from_stats(raw, stats, bp["norm"]["scale"],
+                                       bp["norm"]["bias"], factors=factors,
+                                       negative_slope=slope)
+
+    x = x.astype(dtype)
+    cur = sfactors[0]
+    if cur != UNPACKED:
+        x = pc.space_to_depth_yx(x, cur)
+
+    # ---- encoder ----------------------------------------------------------
+    skips = []
+    x_mat = x
+    for d in range(num_pool + 1):
+        name = "bottleneck" if d == num_pool else f"enc{d}"
+        p = params[name]
+        nxt = sfactors[d] if d < num_pool else UNPACKED
+        if d == 0:
+            raw, stats = fused_block(x_mat, p["block0"], None, cur)
+            prev_bp = p["block0"]
+            start = 1
+        else:
+            stride = tuple(model.pool_op_kernel_sizes[d - 1])
+            bp = p["block0"]
+            w, b = bp["conv"]["kernel"], bp["conv"]["bias"]
+            if cur != UNPACKED:
+                raw = pc.packed_strided_conv3d(
+                    x_mat.astype(dtype), w.astype(dtype), z_stride=stride[0],
+                    factors=cur) + b.astype(dtype)
+                if nxt != UNPACKED:
+                    raw = pc.space_to_depth_yx(raw, nxt)
+            else:
+                assert nxt == UNPACKED
+                raw = _conv_same(x_mat, w, b, stride, dtype)
+            cur = nxt
+            stats = pc.channel_stats(raw)
+            prev_bp = bp
+            start = 1
+        for i in range(start, model.conv_per_stage):
+            nvox = int(np.prod(raw.shape[1:-1]))
+            aff = affine_of(stats, prev_bp, cur, nvox)
+            raw, stats = fused_block(raw, p[f"block{i}"], aff, cur)
+            prev_bp = p[f"block{i}"]
+        x_mat = materialize(raw, stats, prev_bp, cur)
+        if d < num_pool:
+            skips.append(x_mat)
+
+    # ---- decoder ----------------------------------------------------------
+    for u in range(num_pool):
+        s_idx = num_pool - 1 - u
+        skip = skips[s_idx]
+        target = sfactors[s_idx]
+        stride = tuple(model.pool_op_kernel_sizes[s_idx])
+        wt = params[f"up{u}"]["kernel"]
+        if target != UNPACKED:
+            if cur != UNPACKED:
+                x_mat = pc.depth_to_space_yx(x_mat, cur)
+            x_mat = pc.packed_conv_transpose3d(
+                x_mat.astype(dtype), wt.astype(dtype), z_stride=stride[0],
+                factors=target)
+            cur = target
+            ph = pc.nphases(target)
+            n_, z_, yp_, xp_ = x_mat.shape[:4]
+            cu = x_mat.shape[-1] // ph
+            cs = skip.shape[-1] // ph
+            x_mat = jnp.concatenate(
+                [x_mat.reshape(n_, z_, yp_, xp_, ph, cu),
+                 skip.astype(x_mat.dtype).reshape(n_, z_, yp_, xp_, ph, cs)],
+                axis=-1).reshape(n_, z_, yp_, xp_, ph * (cu + cs))
+        else:
+            assert cur == UNPACKED
+            x_mat = lax.conv_transpose(
+                x_mat.astype(dtype), wt.astype(dtype), strides=stride,
+                padding="VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+            x_mat = jnp.concatenate([x_mat, skip.astype(x_mat.dtype)], axis=-1)
+        raw, stats = fused_block(x_mat, params[f"dec{u}"]["block0"], None, cur)
+        prev_bp = params[f"dec{u}"]["block0"]
+        for i in range(1, model.conv_per_stage):
+            nvox = int(np.prod(raw.shape[1:-1]))
+            aff = affine_of(stats, prev_bp, cur, nvox)
+            raw, stats = fused_block(raw, params[f"dec{u}"][f"block{i}"], aff,
+                                     cur)
+            prev_bp = params[f"dec{u}"][f"block{i}"]
+        if u < num_pool - 1:
+            x_mat = materialize(raw, stats, prev_bp, cur)
+
+    # ---- seg head (full resolution only): the final normalize rides the
+    # seg-head kernel's prologue instead of a separate full-res pass ---------
+    hp = params[f"seg{num_pool - 1}"]
+    hw = hp["kernel"]
+    hb = hp.get("bias") if model.seg_output_bias else None
+    if cur != UNPACKED:
+        nvox = int(np.prod(raw.shape[1:-1]))
+        sc, sh = affine_of(stats, prev_bp, cur, nvox)
+        logits = seghead_d2s(raw.astype(dtype), hw,
+                             hb.astype(jnp.float32) if hb is not None else None,
+                             factors=cur, in_scale=sc, in_shift=sh,
+                             negative_slope=slope, interpret=interpret)
+    else:
+        x_mat = materialize(raw, stats, prev_bp, cur)
+        logits = _conv_same(x_mat, hw, hb, dtype=dtype).astype(jnp.float32)
+    return logits
 
 
 def _packed_enabled(env_var: str) -> bool:
@@ -258,8 +435,15 @@ def make_inference_apply_fn(model):
                 and _packed_enabled("MTTPU_PACKED_CONV"))
     if packable:
         pmc = int(os.environ.get("MTTPU_PACK_MAX_CHANNELS", "128"))
+        fuse = _packed_enabled("MTTPU_FUSED_NORM")
 
         def apply_fn(params, batch):
+            if fuse:
+                try:
+                    return packed_unet_forward_fused(model, params, batch,
+                                                     pack_max_channels=pmc)
+                except ValueError:
+                    pass  # shape outside the kernels' block grid
             return packed_unet_forward(model, params, batch,
                                        deep_supervision=False,
                                        pack_max_channels=pmc)

@@ -432,6 +432,190 @@ def pallas_conv3d_same_wgrad(x, g, *, interpret: bool = False):
     return dw.reshape(3, 3, 3, cp, coutp)[:, :, :, :c, :cout]
 
 
+def _conv_affine_kernel(x_ref, w_ref, aff_ref, bias_ref, out_ref, stats_ref,
+                        xblk, sems, *, bz, by, bx, c, cout, zb, yb, xb,
+                        zdim, ydim, xdim, slope, has_affine):
+    """Tap-GEMM conv with a fused normalize prologue and a stats epilogue.
+
+    Prologue (has_affine): the fetched block holds the PREVIOUS conv's raw
+    (pre-norm) output; applies y = leaky_relu(x*scale + shift) per channel in
+    VMEM — the instance-norm scale/shift computed by XLA from the previous
+    kernel's stats output — and zeroes the SAME-pad halo (whose pre-norm ring
+    is zero, but lrelu(shift) is not). This removes one full HBM
+    read+write of the activation per fused block (the XLA normalize pass).
+
+    Epilogue: per-sample per-channel sum and sum-of-squares of the written
+    (bias-added, bf16-rounded) output, accumulated across the sequential grid
+    into stats[n, 2, cout] — the NEXT norm then needs no reduction pass."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    g = (i * yb + j) * xb + k
+    n_steps = pl.num_programs(0) * yb * xb
+    slot = jax.lax.rem(g, 2)
+
+    def start_fetch(step, slot):
+        kk = jax.lax.rem(step, xb)
+        jj = jax.lax.rem(step // xb, yb)
+        ii = step // (xb * yb)
+        dma = pltpu.make_async_copy(
+            x_ref.at[ii // zb, pl.ds(jax.lax.rem(ii, zb) * bz, bz + 2),
+                     pl.ds(jj * by, by + 2), pl.ds(kk * bx, bx + 16), :],
+            xblk.at[slot], sems.at[slot])
+        dma.start()
+        return dma
+
+    @pl.when(g == 0)
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when(g + 1 < n_steps)
+    def _():
+        start_fetch(g + 1, 1 - slot)
+
+    pltpu.make_async_copy(x_ref.at[0, pl.ds(0, bz + 2), pl.ds(0, by + 2),
+                                   pl.ds(0, bx + 16), :],
+                          xblk.at[slot], sems.at[slot]).wait()
+
+    xv = xblk[slot]
+    if has_affine:
+        xf = xv.astype(jnp.float32) * aff_ref[0, 0] + aff_ref[0, 1]
+        # cast before the activation (InstanceNorm -> leaky_relu order in
+        # blocks.py / packed_instance_norm)
+        y16 = xf.astype(xblk.dtype)
+        y16 = jnp.where(y16 >= 0, y16, y16 * slope)
+        # zero the halo: valid padded coords are z,y in [1, dim], x in
+        # [8, xdim+8) (the +-8 x pre-pad)
+        z0 = jax.lax.rem(i, zb) * bz
+        y0 = j * by
+        x0 = k * bx
+        shp = (bz + 2, by + 2, bx + 16, 1)
+        iz = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + z0
+        iy = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + y0
+        ix = jax.lax.broadcasted_iota(jnp.int32, shp, 2) + x0
+        mask = ((iz >= 1) & (iz <= zdim) & (iy >= 1) & (iy <= ydim)
+                & (ix >= 8) & (ix < xdim + 8))
+        xv = jnp.where(mask, y16, jnp.zeros_like(y16))
+
+    def body(acc):
+        acc[:] = jnp.zeros_like(acc)
+        for dz in range(3):
+            for dy in range(3):
+                for dx in range(3):
+                    xs = xv[dz:dz + bz, dy:dy + by, dx + 7:dx + 7 + bx, :]
+                    a2 = xs.reshape(bz * by * bx, c)
+                    wt = w_ref[dz, dy, dx, :, :]
+                    acc[:] += jnp.dot(a2, wt,
+                                      preferred_element_type=jnp.float32)
+        outb = (acc[:] + bias_ref[0]).astype(out_ref.dtype)
+        out_ref[0] = outb.reshape(bz, by, bx, cout)
+
+        @pl.when((jax.lax.rem(i, zb) == 0) & (j == 0) & (k == 0))
+        def _():
+            stats_ref[...] = jnp.zeros_like(stats_ref)
+
+        of = outb.astype(jnp.float32)
+        stats_ref[0, 0, :] += jnp.sum(of, axis=0)
+        stats_ref[0, 1, :] += jnp.sum(of * of, axis=0)
+
+    pl.run_scoped(body, pltpu.VMEM((bz * by * bx, cout), jnp.float32))
+
+
+@lru_cache(maxsize=64)
+def _build_affine(n, z, y, x, c, cout, dtype_name, bz, by, bx, slope,
+                  has_affine, interpret=False):
+    dtype = jnp.dtype(dtype_name)
+    zb = z // bz
+    yb = y // by
+    xb = x // bx
+    grid = (n * zb, yb, xb)
+    kernel = partial(_conv_affine_kernel, bz=bz, by=by, bx=bx, c=c, cout=cout,
+                     zb=zb, yb=yb, xb=xb, zdim=z, ydim=y, xdim=x, slope=slope,
+                     has_affine=has_affine)
+    flops = 2 * 27 * c * cout * n * z * y * x
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # padded input, DMA'd manually
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights resident
+            pl.BlockSpec((1, 2, c),
+                         lambda i, j, k, zb=zb: (i // zb, 0, 0)),  # scale/shift
+            pl.BlockSpec((1, cout), lambda i, j, k: (0, 0)),    # bias
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bz, by, bx, cout),
+                         lambda i, j, k, zb=zb: (i // zb, i % zb, j, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, cout),
+                         lambda i, j, k, zb=zb: (i // zb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((n, z, y, x, cout), dtype),
+                   jax.ShapeDtypeStruct((n, 2, cout), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, bz + 2, by + 2, bx + 16, c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(n * (z + 2) * (y + 2) * (x + 16) * c * 2
+                            + n * z * y * x * cout * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+
+def pallas_conv3d_same_affine(x, w, *, bias=None, in_scale=None,
+                              in_shift=None, negative_slope: float = 1e-2,
+                              interpret: bool = False):
+    """Stride-1 SAME 3x3x3 conv with fused pre-normalize and stats output.
+
+    When in_scale/in_shift are given ((C,) shared or (N, C) per sample — the
+    instance-norm case), x is the previous conv's RAW output and the kernel
+    computes conv(leaky_relu(x * in_scale + in_shift), w) + bias with
+    SAME-zero-pad semantics applied to the normalized tensor. Returns
+    (out, stats) with stats[n, 0/1, c] the per-sample channel sum / sum of
+    squares of out — enough for the consumer's instance norm without another
+    reduction. Raises ValueError when the shape is unsupported."""
+    n, z, y, xdim, c = x.shape
+    kz, ky, kx, cin, cout = w.shape
+    if (kz, ky, kx) != (3, 3, 3) or cin != c:
+        raise ValueError("unsupported kernel")
+    if not interpret and jax.default_backend() != "tpu":
+        raise ValueError("pallas conv requires a TPU backend")
+    has_affine = in_scale is not None
+    if has_affine != (in_shift is not None):
+        raise ValueError("in_scale and in_shift must be given together")
+    blocks = _pick_blocks(z, y, xdim, "tap")
+    if blocks is None:
+        raise ValueError("unsupported shape")
+    bz, by, bx = blocks
+    cp = -(-c // 128) * 128
+    coutp = -(-cout // 128) * 128
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (8, 8), (0, cp - c)))
+    wp = jnp.pad(w, ((0, 0),) * 3 + ((0, cp - c), (0, coutp - cout)))
+    aff = jnp.zeros((n, 2, cp), jnp.float32)
+    if has_affine:
+        in_scale = jnp.broadcast_to(jnp.asarray(in_scale, jnp.float32),
+                                    (n, c))
+        in_shift = jnp.broadcast_to(jnp.asarray(in_shift, jnp.float32),
+                                    (n, c))
+        aff = aff.at[:, 0, :c].set(in_scale)
+        aff = aff.at[:, 1, :c].set(in_shift)
+    bvec = jnp.zeros((1, coutp), jnp.float32)
+    if bias is not None:
+        bvec = bvec.at[0, :cout].set(bias.astype(jnp.float32))
+    call = _build_affine(n, z, y, xdim, cp, coutp, str(x.dtype), bz, by, bx,
+                         float(negative_slope), has_affine, interpret)
+    out, stats = call(xpad, wp.astype(x.dtype), aff, bvec)
+    if coutp != cout:
+        out = out[..., :cout]
+        stats = stats[..., :cout]
+    return out, stats
+
+
 def _ref_conv(x, w):
     pad = tuple(((k - 1) // 2, (k - 1) // 2) for k in w.shape[:3])
     return lax.conv_general_dilated(

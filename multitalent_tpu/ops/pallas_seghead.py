@@ -28,10 +28,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, b_ref, out_ref, *, bz, by, bx, fy, fx, k, zb):
+def _kernel(x_ref, w_ref, b_ref, aff_ref, out_ref, *, bz, by, bx, fy, fx, k,
+            zb, slope, has_affine):
     xb = x_ref[0]                       # (bz, by, bx, P*C)
     m = bz * by * bx
     pc = xb.shape[-1]
+    if has_affine:
+        # fused final instance-norm + LeakyReLU (the packed UNet's last
+        # normalize pass): y = lrelu(x*scale + shift), per sample/channel
+        xf = xb.astype(jnp.float32) * aff_ref[0, 0] + aff_ref[0, 1]
+        y16 = xf.astype(xb.dtype)
+        xb = jnp.where(y16 >= 0, y16, y16 * slope)
     g = jnp.dot(xb.reshape(m, pc), w_ref[:],
                 preferred_element_type=jnp.float32)      # (m, P*K)
     g = g + b_ref[:]
@@ -43,10 +50,11 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, *, bz, by, bx, fy, fx, k, zb):
 
 @lru_cache(maxsize=32)
 def _build(n, z, yp, xp, pc, k, fy, fx, in_dtype, out_dtype, bz, by, bx,
-           interpret=False):
+           slope, has_affine, interpret=False):
     zb = z // bz
     grid = (n * zb, yp // by, xp // bx)
-    kernel = partial(_kernel, bz=bz, by=by, bx=bx, fy=fy, fx=fx, k=k, zb=zb)
+    kernel = partial(_kernel, bz=bz, by=by, bx=bx, fy=fy, fx=fx, k=k, zb=zb,
+                     slope=slope, has_affine=has_affine)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -55,6 +63,8 @@ def _build(n, z, yp, xp, pc, k, fy, fx, in_dtype, out_dtype, bz, by, bx,
                          lambda i, j, kk, zb=zb: (i // zb, i % zb, j, kk, 0)),
             pl.BlockSpec((pc, fy * fx * k), lambda i, j, kk: (0, 0)),
             pl.BlockSpec((1, fy * fx * k), lambda i, j, kk: (0, 0)),
+            pl.BlockSpec((1, 2, pc),
+                         lambda i, j, kk, zb=zb: (i // zb, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, bz, by * fy, bx * fx, k),
@@ -85,13 +95,17 @@ def _pick_blocks(z, yp, xp):
 
 
 def seghead_d2s(x_packed, w, b=None, *, factors=(2, 2),
-                out_dtype=jnp.float32, interpret: bool = False):
+                out_dtype=jnp.float32, in_scale=None, in_shift=None,
+                negative_slope: float = 1e-2, interpret: bool = False):
     """Pointwise seg head on a packed tensor, fused with depth_to_space_yx.
 
     x_packed: (N, Z, Y', X', P*C); w: canonical (1, 1, 1, C, K); b: (K,) or
     None. Returns (N, Z, Y'*fy, X'*fx, K) in `out_dtype`. Equals
     depth_to_space_yx(packed_pointwise_conv3d(x, w, tile(b)), factors).
-    Raises ValueError when the shape is unsupported (callers fall back)."""
+    With in_scale/in_shift ((N, P*C) per-sample instance-norm affine), the
+    kernel first applies leaky_relu(x*scale + shift) — the final normalize
+    pass of the fused packed forward. Raises ValueError when the shape is
+    unsupported (callers fall back)."""
     fy, fx = int(factors[0]), int(factors[1])
     p = fy * fx
     n, z, yp, xp, pc = x_packed.shape
@@ -100,6 +114,9 @@ def seghead_d2s(x_packed, w, b=None, *, factors=(2, 2),
         raise ValueError("unsupported seg head shape")
     if not interpret and jax.default_backend() != "tpu":
         raise ValueError("pallas seghead requires a TPU backend")
+    has_affine = in_scale is not None
+    if has_affine != (in_shift is not None):
+        raise ValueError("in_scale and in_shift must be given together")
     blocks = _pick_blocks(z, yp, xp)
     if blocks is None:
         raise ValueError("unsupported spatial shape")
@@ -113,9 +130,16 @@ def seghead_d2s(x_packed, w, b=None, *, factors=(2, 2),
             wbd, w2, (ph * c, ph * k))
     bias = jnp.zeros((1, p * k), jnp.float32) if b is None else \
         jnp.tile(b.astype(jnp.float32), p)[None]
+    aff = jnp.zeros((n, 2, pc), jnp.float32)
+    if has_affine:
+        aff = aff.at[:, 0].set(jnp.broadcast_to(
+            jnp.asarray(in_scale, jnp.float32), (n, pc)))
+        aff = aff.at[:, 1].set(jnp.broadcast_to(
+            jnp.asarray(in_shift, jnp.float32), (n, pc)))
     call = _build(n, z, yp, xp, pc, k, fy, fx, str(x_packed.dtype),
-                  str(jnp.dtype(out_dtype)), bz, by, bx, interpret)
-    return call(x_packed, wbd, bias)
+                  str(jnp.dtype(out_dtype)), bz, by, bx,
+                  float(negative_slope), has_affine, interpret)
+    return call(x_packed, wbd, bias, aff)
 
 
 def seghead_enabled() -> bool:

@@ -28,7 +28,7 @@ from multitalent_tpu.utils.fileops import maybe_mkdir
 
 
 def remove_random_component(seg_patch: np.ndarray, rng: np.random.RandomState,
-                            p_per_label: float = 0.15,
+                            p_per_label: float = 1.0,
                             max_coverage: float = 0.15) -> np.ndarray:
     """Random connected-component removal on a previous-stage label patch
     (RemoveRandomConnectedComponentFromOneHotEncodingTransform parity,
@@ -55,10 +55,18 @@ class CascadePatchSampler3D(PatchSampler3D):
     data (written by predict_next_stage) and is cropped with the same bbox;
     CC-removal corruption is applied here when `corrupt=True` (training only)."""
 
-    def __init__(self, *args, corrupt: bool = True, **kwargs):
+    def __init__(self, *args, corrupt: bool = True,
+                 cc_p_per_sample: float = 0.2, cc_p_per_label: float = 1.0,
+                 cc_max_coverage: float = 0.15, **kwargs):
         kwargs["has_prev_stage"] = True
         super().__init__(*args, **kwargs)
         self.corrupt = corrupt
+        # RemoveRandomConnectedComponentFromOneHotEncodingTransform knobs
+        # (cascade_remove_conn_comp_* in data_aug_params,
+        # nnUNetTrainerV2_CascadeFullRes.py:107-109)
+        self.cc_p_per_sample = cc_p_per_sample
+        self.cc_p_per_label = cc_p_per_label
+        self.cc_max_coverage = cc_max_coverage
 
     def _load_prev(self, key: str) -> np.ndarray:
         path = os.path.join(os.path.dirname(self._data[key]["data_file"]),
@@ -74,8 +82,10 @@ class CascadePatchSampler3D(PatchSampler3D):
         data = self._crop_pad(case_all_data[:-1], bbox_lb, self.pad_mode, 0)
         seg = self._crop_pad(case_all_data[-1:], bbox_lb, "constant", -1)
         prev = self._crop_pad(self._load_prev(key), bbox_lb, "constant", 0)
-        if self.corrupt:
-            prev[0] = remove_random_component(prev[0], self.rng)
+        if self.corrupt and self.rng.uniform() < self.cc_p_per_sample:
+            prev[0] = remove_random_component(prev[0], self.rng,
+                                              p_per_label=self.cc_p_per_label,
+                                              max_coverage=self.cc_max_coverage)
         return data, np.concatenate([seg, prev.astype(np.float32)]), properties
 
 
@@ -136,10 +146,19 @@ class TrainerV2CascadeFullRes(TrainerV2):
             "Run 3d_lowres training (which exports them via predict_next_stage) "
             f"first. Expected e.g. {prev_file}")
 
+        dap = self.data_aug_params
+
         def tr_factory(worker_id: int):
             return CascadePatchSampler3D(
                 self.dataset_tr, self.basic_generator_patch_size, self.patch_size,
                 self.batch_size, corrupt=True,
+                cc_p_per_sample=float(
+                    dap.get("cascade_remove_conn_comp_p", 0.2)),
+                cc_p_per_label=float(dap.get(
+                    "cascade_remove_conn_comp_p_per_label", 1.0)),
+                cc_max_coverage=float(dap.get(
+                    "cascade_remove_conn_comp_max_size_percent_threshold",
+                    0.15)),
                 oversample_foreground_percent=self.oversample_foreground_percent,
                 pad_mode="constant", seed=self.seed + worker_id)
 
@@ -289,3 +308,110 @@ def predict_next_stage(trainer, stage_to_be_predicted_folder: str) -> None:
                          f"{key}_segFromPrevStage.npz"),
             data=seg_resampled.astype(np.uint8))
         print(f"predicted next stage for {key}")
+
+
+# ------------------------------------------------------------ cascade variants
+# The reference's cascade ablations tweak schedule or the prev-stage corruption
+# knobs only (nnUNet_variants/cascade/*.py).
+
+def _cascade_da(self, **updates):
+    TrainerV2CascadeFullRes.setup_DA_params(self)
+    self.data_aug_params.update(updates)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2CascadeFullRes_lowerLR",))
+class TrainerV2CascadeLowerLR(TrainerV2CascadeFullRes):
+    """cascade/nnUNetTrainerV2CascadeFullRes_lowerLR.py:22-28: lr 1e-3."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.initial_lr = 1e-3
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2CascadeFullRes_shorter",))
+class TrainerV2CascadeShorter(TrainerV2CascadeFullRes):
+    """cascade/nnUNetTrainerV2CascadeFullRes_shorter.py: 500 epochs."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.max_num_epochs = 500
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2CascadeFullRes_shorter_lowerLR",))
+class TrainerV2CascadeShorterLowerLR(TrainerV2CascadeFullRes):
+    """cascade/nnUNetTrainerV2CascadeFullRes_shorter_lowerLR.py."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.max_num_epochs = 500
+        self.initial_lr = 1e-3
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2CascadeFullRes_noConnComp",))
+class TrainerV2CascadeNoConnComp(TrainerV2CascadeFullRes):
+    """DAVariants.py:19-30: disable CC-removal corruption."""
+
+    def setup_DA_params(self):
+        _cascade_da(
+            self,
+            cascade_random_binary_transform_p=0.4,
+            cascade_random_binary_transform_p_per_label=1.0,
+            cascade_random_binary_transform_size=(1, 8),
+            cascade_remove_conn_comp_p=0.0,
+            cascade_remove_conn_comp_max_size_percent_threshold=0.15)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2CascadeFullRes_smallerBinStrel",))
+class TrainerV2CascadeSmallerBinStrel(TrainerV2CascadeFullRes):
+    """DAVariants.py:33-44: structuring element range (1, 5)."""
+
+    def setup_DA_params(self):
+        _cascade_da(
+            self,
+            cascade_random_binary_transform_p=0.4,
+            cascade_random_binary_transform_p_per_label=1.0,
+            cascade_random_binary_transform_size=(1, 5),
+            cascade_remove_conn_comp_p=0.2,
+            cascade_remove_conn_comp_max_size_percent_threshold=0.15)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2CascadeFullRes_EducatedGuess",))
+class TrainerV2CascadeEducatedGuess(TrainerV2CascadeFullRes):
+    """DAVariants.py:47-58."""
+
+    def setup_DA_params(self):
+        _cascade_da(
+            self,
+            cascade_random_binary_transform_p=0.5,
+            cascade_random_binary_transform_p_per_label=0.5,
+            cascade_random_binary_transform_size=(1, 5),
+            cascade_remove_conn_comp_p=0.2,
+            cascade_remove_conn_comp_max_size_percent_threshold=0.10)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2CascadeFullRes_EducatedGuess2",))
+class TrainerV2CascadeEducatedGuess2(TrainerV2CascadeFullRes):
+    """DAVariants.py:61-72: like EducatedGuess, CC removal off."""
+
+    def setup_DA_params(self):
+        _cascade_da(
+            self,
+            cascade_random_binary_transform_p=0.5,
+            cascade_random_binary_transform_p_per_label=0.5,
+            cascade_random_binary_transform_size=(1, 5),
+            cascade_remove_conn_comp_p=0.0,
+            cascade_remove_conn_comp_max_size_percent_threshold=0.10)
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2CascadeFullRes_EducatedGuess3",))
+class TrainerV2CascadeEducatedGuess3(TrainerV2CascadeFullRes):
+    """DAVariants.py:75-87: always corrupt, per-label p 0.33."""
+
+    def setup_DA_params(self):
+        _cascade_da(
+            self,
+            cascade_random_binary_transform_p=1.0,
+            cascade_random_binary_transform_p_per_label=0.33,
+            cascade_random_binary_transform_size=(1, 5),
+            cascade_remove_conn_comp_p=0.0,
+            cascade_remove_conn_comp_max_size_percent_threshold=0.10)

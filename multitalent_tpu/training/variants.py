@@ -24,7 +24,7 @@ from multitalent_tpu.training.trainers import TrainerV2
 
 
 # ------------------------------------------------------------------ loss variants
-@TRAINERS.register(aliases=("nnUNetTrainerV2_Loss_CE",))
+@TRAINERS.register(aliases=("nnUNetTrainerV2_Loss_CE", "nnUNetTrainerCE"))
 class TrainerV2LossCE(TrainerV2):
     """Cross-entropy only (loss_variants/nnUNetTrainerV2_Loss_CE.py)."""
 
@@ -141,7 +141,7 @@ class TrainerV2Momentum09(TrainerV2):
 
 
 # ----------------------------------------------------------------- DA variants
-@TRAINERS.register(aliases=("nnUNetTrainerV2_noDataAugmentation", "nnUNetTrainerV2_noDA"))
+@TRAINERS.register(aliases=("nnUNetTrainerV2_noDataAugmentation", "nnUNetTrainerV2_noDA", "nnUNetTrainerNoDA"))
 class TrainerV2NoDA(TrainerV2):
     """No augmentation: patches pass through with center crop only
     (data_augmentation/nnUNetTrainerV2_noDataAugmentation.py)."""
@@ -901,3 +901,36 @@ class TrainerV2CycleAtEnd2(TrainerV2CycleAtEnd):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.max_num_epochs = 1200
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_ReLU_convReLUIN",))
+class TrainerV2ReLUConvReLUIN(TrainerV2):
+    """ReLU with conv->nonlin->norm block order (basic_block=
+    ConvDropoutNonlinNorm; architectural_variants/
+    nnUNetTrainerV2_ReLU_convReLUIN.py:22-46)."""
+
+    def network_overrides(self) -> dict:
+        return {"nonlin": "relu", "nonlin_first": True}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_lReLU_convReLUIN",))
+class TrainerV2LReLUConvReLUIN(TrainerV2):
+    """LeakyReLU with conv->nonlin->norm block order (architectural_variants/
+    nnUNetTrainerV2_lReLU_convlReLUIN.py:22-46)."""
+
+    def network_overrides(self) -> dict:
+        return {"nonlin_first": True}
+
+
+@TRAINERS.register(aliases=("nnUNetTrainerV2_resample33",))
+class TrainerV2Resample33(TrainerV2):
+    """Validation-export resampling ablation: full-3D cubic softmax resample
+    (force_separate_z=False, order_z=3; resampling/
+    nnUNetTrainerV2_resample33.py:47-55)."""
+
+    def validate(self, *args, **kwargs):
+        if kwargs.get("segmentation_export_kwargs") is None:
+            kwargs["segmentation_export_kwargs"] = {
+                "interpolation_order": 3, "force_separate_z": False,
+                "interpolation_order_z": 3}
+        return super().validate(*args, **kwargs)

@@ -104,6 +104,46 @@ def test_no_deep_supervision_trainer(tmp_path):
     t.val_gen.stop()
 
 
+def test_conv_order_and_cascade_variants_resolve(tmp_path):
+    """Round-2 additions: conv->nonlin->norm block order, resample33 export
+    kwargs, V1 aliases, and the cascade DA-knob variants."""
+    from multitalent_tpu.registry import resolve_trainer
+    dd = make_preprocessed(tmp_path)
+    # conv->nonlin->norm runs and produces an identical param tree shape
+    cls = resolve_trainer("nnUNetTrainerV2_lReLU_convReLUIN")
+    t = cls(tiny_plans(), 0, str(tmp_path / "out_order"), dd)
+    t.max_num_epochs = 1
+    t.num_batches_per_epoch = 1
+    t.num_val_batches_per_epoch = 1
+    t.initialize(True)
+    assert t.network.nonlin_first
+    loss = t.run_iteration(t.tr_gen, True)
+    assert np.isfinite(loss)
+    t.tr_gen.stop()
+    t.val_gen.stop()
+    # aliases resolve to the consolidated V2 trainers
+    assert resolve_trainer("nnUNetTrainerCE") is resolve_trainer(
+        "nnUNetTrainerV2_Loss_CE")
+    assert resolve_trainer("nnUNetTrainerNoDA") is resolve_trainer(
+        "nnUNetTrainerV2_noDA")
+    # cascade DA-knob variants configure the corruption parameters
+    import multitalent_tpu.training.cascade  # noqa: F401  (registers variants)
+    cls = resolve_trainer("nnUNetTrainerV2CascadeFullRes_EducatedGuess3")
+    t = cls(tiny_plans(), 0, str(tmp_path / "out_eg3"), dd)
+    t.load_plans_file()
+    t.process_plans(t.plans)
+    t.setup_DA_params()
+    assert t.data_aug_params["cascade_random_binary_transform_p"] == 1.0
+    assert t.data_aug_params[
+        "cascade_random_binary_transform_p_per_label"] == 0.33
+    cls = resolve_trainer("nnUNetTrainerV2CascadeFullRes_noConnComp")
+    t = cls(tiny_plans(), 0, str(tmp_path / "out_ncc"), dd)
+    t.load_plans_file()
+    t.process_plans(t.plans)
+    t.setup_DA_params()
+    assert t.data_aug_params["cascade_remove_conn_comp_p"] == 0.0
+
+
 @pytest.mark.slow
 def test_new_optimizer_and_loss_variants_resolve_and_run(tmp_path):
     """Ranger (RAdam), cycleAtEnd joined schedule, MCC / squared-dice losses."""

@@ -169,6 +169,70 @@ def test_pallas_seghead_d2s_interpret_matches_reference():
                                    atol=2e-4, rtol=1e-3)
 
 
+def test_pallas_conv_affine_prologue_and_stats_interpret():
+    """Fused normalize-prologue conv: conv(lrelu(x*s+t), w) + bias with
+    SAME-zero-pad applied to the NORMALIZED tensor, plus per-sample channel
+    sum/sumsq of the output."""
+    import jax.numpy as jnp
+    from jax import lax
+    from multitalent_tpu.ops.pallas_conv import pallas_conv3d_same_affine
+    rngl = np.random.RandomState(13)
+    for shape, co in [((2, 4, 8, 16, 5), 7), ((1, 8, 16, 16, 8), 8)]:
+        c = shape[-1]
+        x = jnp.asarray(rngl.randn(*shape).astype(np.float32))
+        w = jnp.asarray(rngl.randn(3, 3, 3, c, co).astype(np.float32))
+        b = jnp.asarray(rngl.randn(co).astype(np.float32))
+        s = jnp.asarray((rngl.rand(shape[0], c) + 0.5).astype(np.float32))
+        t = jnp.asarray(rngl.randn(shape[0], c).astype(np.float32))
+        yn = x * s[:, None, None, None, :] + t[:, None, None, None, :]
+        yn = jnp.where(yn >= 0, yn, yn * 1e-2)
+        ref = lax.conv_general_dilated(
+            yn, w, (1, 1, 1), ((1, 1),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+        out, stats = pallas_conv3d_same_affine(
+            x, w, bias=b, in_scale=s, in_shift=t, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   atol=3e-4, rtol=1e-3)
+        rs = np.asarray(ref, np.float64)
+        np.testing.assert_allclose(np.asarray(stats)[:, 0],
+                                   rs.sum(axis=(1, 2, 3)), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(stats)[:, 1],
+                                   (rs ** 2).sum(axis=(1, 2, 3)), rtol=1e-4)
+        # no-affine mode: plain conv + bias, stats still produced
+        ref2 = lax.conv_general_dilated(
+            x, w, (1, 1, 1), ((1, 1),) * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b
+        out2, stats2 = pallas_conv3d_same_affine(x, w, bias=b, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref2), np.asarray(out2),
+                                   atol=3e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(stats2)[:, 0],
+            np.asarray(ref2, np.float64).sum(axis=(1, 2, 3)), rtol=1e-4)
+
+
+def test_fused_inference_forward_matches_packed_forward():
+    """packed_unet_forward_fused (conv+norm+lrelu fused in the Pallas kernels,
+    interpret mode) vs the unfused packed forward on a small packable UNet."""
+    import jax.numpy as jnp
+    from multitalent_tpu.models.generic_unet import GenericUNet
+    from multitalent_tpu.ops.packed_unet import (packed_unet_forward,
+                                                 packed_unet_forward_fused)
+    model = GenericUNet(input_channels=1, base_num_features=8, num_classes=5,
+                        pool_op_kernel_sizes=((2, 2, 2), (1, 2, 2)),
+                        conv_kernel_sizes=((3, 3, 3),) * 3,
+                        deep_supervision=False, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(14).randn(2, 8, 32, 32, 1),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = packed_unet_forward(model, params, x, deep_supervision=False,
+                              pack_max_channels=64)
+    got = packed_unet_forward_fused(model, params, x, pack_max_channels=64,
+                                    interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3,
+                               rtol=1e-2)
+
+
 def test_pallas_wgrad_interpret_matches_vjp():
     """dw kernel (pallas_conv3d_same_wgrad) vs the XLA conv vjp, interpret
     mode, incl. a multi-block grid and Cin != Cout."""
