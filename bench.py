@@ -294,9 +294,7 @@ def _measure_train(device, on_tpu: bool) -> dict:
 
     from functools import partial
 
-    def train_step(state, rng, i, data_bc, seg_b1):
-        data, targets = augment(jax.random.fold_in(rng, i), data_bc, seg_b1)
-
+    def train_core(state, data, targets):
         def compute(params):
             outputs = forward(params, data, deterministic=False)
             return deep_supervision_loss(
@@ -306,7 +304,12 @@ def _measure_train(device, on_tpu: bool) -> dict:
         loss, grads = jax.value_and_grad(compute)(state.params)
         return state.apply_gradients(grads), loss
 
+    def train_step(state, rng, i, data_bc, seg_b1):
+        data, targets = augment(jax.random.fold_in(rng, i), data_bc, seg_b1)
+        return train_core(state, data, targets)
+
     step = jax.jit(train_step, donate_argnums=(0,))
+    step_noda = jax.jit(train_core, donate_argnums=(0,))
     host = np.random.RandomState(0)
     data = jax.device_put(host.randn(batch, 1, *patch).astype(np.float32), device)
     seg = jax.device_put(
@@ -328,12 +331,36 @@ def _measure_train(device, on_tpu: bool) -> dict:
     float(loss)
     per_iter = (time.time() - t0) / n_iters
     s_per_epoch = per_iter * 250
-    return {"s_per_epoch": round(s_per_epoch, 2),
-            "ms_per_iter": round(per_iter * 1e3, 1),
-            "protocol": "Liver 3d_fullres dummyLoad (128^3, bs2) incl. "
-                        "on-device DA",
+
+    # strict dummyLoad protocol (the reference's own benchmark semantics:
+    # nnUNetTrainerV2_dummyLoad feeds random tensors STRAIGHT to the GPU — its
+    # 12-32 augmentation worker processes are outside the timed path). Fixed
+    # pre-augmented tensors, fwd + bwd + update only. This is the
+    # apples-to-apples number against the 41.49 s A100 row; the DA-inclusive
+    # figure above is our production step (augmentation is on-device here).
+    aug_once = jax.jit(augment)
+    data_a, targets_a = aug_once(key, data, seg)
+    data_a = jax.block_until_ready(data_a)
+    for i in range(2):
+        state, loss = step_noda(state, data_a, targets_a)
+    float(loss)
+    t0 = time.time()
+    for i in range(n_iters):
+        state, loss = step_noda(state, data_a, targets_a)
+    float(loss)
+    per_iter_noda = (time.time() - t0) / n_iters
+    s_per_epoch_noda = per_iter_noda * 250
+
+    return {"s_per_epoch": round(s_per_epoch_noda, 2),
+            "ms_per_iter": round(per_iter_noda * 1e3, 1),
+            "s_per_epoch_incl_da": round(s_per_epoch, 2),
+            "ms_per_iter_incl_da": round(per_iter * 1e3, 1),
+            "protocol": "Liver 3d_fullres dummyLoad (128^3, bs2); headline "
+                        "excludes DA like the reference protocol, _incl_da "
+                        "adds the on-device augmentation",
             "a100_s_per_epoch": 41.49,
-            "vs_a100_train": round(41.49 / s_per_epoch, 3) if on_tpu else None}
+            "vs_a100_train": round(41.49 / s_per_epoch_noda, 3) if on_tpu
+            else None}
 
 
 def report(res: dict) -> None:
