@@ -132,10 +132,16 @@ def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
     3x3x3 packed kernels route through the Pallas tap-GEMM conv when enabled
     (ops/pallas_conv.py: 118.7 vs 82.7 TFLOP/s on v5e at C=120); backward
     stays on XLA's conv via custom_vjp."""
+    import os
     kz = w.shape[0]
     wp = pack_conv_weights(w, factors)
     kyp, kxp = wp.shape[1], wp.shape[2]
-    if kz == 3 and (kyp, kxp) == (3, 3) and precision is None:
+    # Tiny input channel counts (stage-0 block0: P*C_in = 4) waste the
+    # 128-lane kernel 32x on its K dim; below the threshold XLA's own conv
+    # lowering (implicit im2col, K = 27*C_in) is the better formulation.
+    min_cin = int(os.environ.get("MTTPU_PALLAS_MIN_CIN", "0"))
+    if (kz == 3 and (kyp, kxp) == (3, 3) and precision is None
+            and x_packed.shape[-1] >= min_cin):
         from multitalent_tpu.ops.pallas_conv import (conv3d_same_fast,
                                                      pallas_conv_enabled)
         if pallas_conv_enabled():

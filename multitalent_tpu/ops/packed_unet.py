@@ -286,7 +286,11 @@ def packed_unet_forward_fused(model: GenericUNet, params, x, *,
         if w.shape[:3] != (3, 3, 3):
             raise ValueError("fused path requires 3x3x3 convs")
         sc, sh = affine if affine is not None else (None, None)
+        import os
         try:
+            if raw_in.shape[-1] < int(
+                    os.environ.get("MTTPU_PALLAS_MIN_CIN", "0")):
+                raise ValueError("cin below pallas threshold")
             return pallas_conv3d_same_affine(
                 raw_in.astype(dtype), w.astype(dtype), bias=b,
                 in_scale=sc, in_shift=sh, negative_slope=slope,

@@ -256,6 +256,9 @@ def test_fetch_packed_rle_roundtrip():
     import jax.numpy as jnp
     from multitalent_tpu.ops.sliding_window import fetch_packed_rle
 
+    from multitalent_tpu.ops.sliding_window import (rle_fetch_begin,
+                                                    rle_fetch_finish)
+
     rng = np.random.RandomState(3)
     # coherent: blocky runs
     blocks = rng.randint(0, 5, (6, 8, 4)).astype(np.uint32)
@@ -264,3 +267,6 @@ def test_fetch_packed_rle_roundtrip():
         packed = np.stack([arr, arr ^ 0xDEADBEEF], axis=-1).astype(np.uint32)
         got = fetch_packed_rle(jnp.asarray(packed))
         np.testing.assert_array_equal(got, packed)
+        # the pipelined begin/finish split is byte-identical to the one-shot
+        token = rle_fetch_begin(jnp.asarray(packed))
+        np.testing.assert_array_equal(rle_fetch_finish(token), packed)
