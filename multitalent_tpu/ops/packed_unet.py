@@ -251,17 +251,24 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
 
 def packed_unet_forward_fused(model: GenericUNet, params, x, *,
                               pack_max_channels: int = 128,
+                              deep_supervision: bool = False,
+                              differentiable: bool = False,
                               interpret: bool = False):
-    """Inference forward equal to packed_unet_forward(deep_supervision=False)
-    with the conv->InstanceNorm->LeakyReLU chains fused into the Pallas conv
-    kernel (pallas_conv3d_same_affine): each stride-1 conv consumes the
-    previous conv's RAW output, applying its normalize+activation in the
-    kernel prologue, and emits channel stats so the next norm needs no
-    reduction pass. Post-norm activations are materialized only where a
-    non-conv consumer needs them (skips/concats, strided and transposed convs,
-    the seg head). Raises ValueError when a shape doesn't fit the kernels
-    (callers fall back to packed_unet_forward)."""
-    from multitalent_tpu.ops.pallas_conv import pallas_conv3d_same_affine
+    """Forward equal to packed_unet_forward with the
+    conv->InstanceNorm->LeakyReLU chains fused into the Pallas conv kernel
+    (pallas_conv3d_same_affine): each stride-1 conv consumes the previous
+    conv's RAW output, applying its normalize+activation in the kernel
+    prologue, and emits channel stats so the next norm needs no reduction
+    pass. Post-norm activations are materialized only where a non-conv
+    consumer needs them (skips/concats, strided and transposed convs, the seg
+    heads). With differentiable=True the blocks run through
+    conv3d_same_affine_fast (custom VJP: backward recomputes the elementwise
+    normalize and rides the Pallas dx/wgrad kernels) so jax.grad works — the
+    training path. Raises ValueError when the input isn't packable (callers
+    fall back to packed_unet_forward); per-block shape misfits fall back to
+    XLA convs internally."""
+    from multitalent_tpu.ops.pallas_conv import (conv3d_same_affine_fast,
+                                                 pallas_conv3d_same_affine)
     from multitalent_tpu.ops.pallas_seghead import seghead_d2s
 
     num_pool = model.num_pool
@@ -286,6 +293,12 @@ def packed_unet_forward_fused(model: GenericUNet, params, x, *,
         if w.shape[:3] != (3, 3, 3):
             raise ValueError("fused path requires 3x3x3 convs")
         sc, sh = affine if affine is not None else (None, None)
+        if differentiable:
+            # custom-VJP wrapper: Pallas forward when the shape/threshold
+            # qualify, XLA composition otherwise; grads flow through stats
+            return conv3d_same_affine_fast(
+                raw_in.astype(dtype), w.astype(dtype), b.astype(jnp.float32),
+                sc, sh, slope)
         import os
         try:
             if raw_in.shape[-1] < int(
@@ -357,6 +370,7 @@ def packed_unet_forward_fused(model: GenericUNet, params, x, *,
             skips.append(x_mat)
 
     # ---- decoder ----------------------------------------------------------
+    seg_outputs = []
     for u in range(num_pool):
         s_idx = num_pool - 1 - u
         skip = skips[s_idx]
@@ -393,11 +407,30 @@ def packed_unet_forward_fused(model: GenericUNet, params, x, *,
             raw, stats = fused_block(raw, params[f"dec{u}"][f"block{i}"], aff,
                                      cur)
             prev_bp = params[f"dec{u}"][f"block{i}"]
-        if u < num_pool - 1:
+        last = u == num_pool - 1
+        if not last or deep_supervision or differentiable:
             x_mat = materialize(raw, stats, prev_bp, cur)
+        if deep_supervision or (last and differentiable):
+            hp = params[f"seg{u}"]
+            hw = hp["kernel"]
+            hb = hp.get("bias") if model.seg_output_bias else None
+            if cur != UNPACKED:
+                lg = pc.packed_pointwise_conv3d(
+                    x_mat.astype(dtype), hw.astype(dtype),
+                    jnp.tile(hb.astype(dtype), pc.nphases(cur))
+                    if hb is not None else None, factors=cur)
+                lg = pc.depth_to_space_yx(lg, cur)
+            else:
+                lg = _conv_same(x_mat, hw, hb, dtype=dtype)
+            seg_outputs.append(lg.astype(jnp.float32))
 
-    # ---- seg head (full resolution only): the final normalize rides the
-    # seg-head kernel's prologue instead of a separate full-res pass ---------
+    if deep_supervision:
+        return seg_outputs[::-1]
+    if differentiable:
+        return seg_outputs[-1]
+
+    # ---- inference seg head (full resolution only): the final normalize
+    # rides the seg-head kernel's prologue instead of a separate full-res pass
     hp = params[f"seg{num_pool - 1}"]
     hw = hp["kernel"]
     hb = hp.get("bias") if model.seg_output_bias else None
@@ -475,8 +508,19 @@ def make_train_forward_fn(model):
     if packable:
         pmc = int(os.environ.get("MTTPU_PACK_MAX_CHANNELS", "128"))
         ds = model.deep_supervision
+        # conv+norm fusion for the TRAINING forward (backward via the custom
+        # VJP in conv3d_same_affine_fast). Opt-in until hardware-validated:
+        # MTTPU_FUSED_TRAIN=1.
+        fuse = os.environ.get("MTTPU_FUSED_TRAIN", "0") == "1"
 
         def fwd(params, batch, deterministic=True):
+            if fuse:
+                try:
+                    return packed_unet_forward_fused(
+                        model, params, batch, pack_max_channels=pmc,
+                        deep_supervision=ds, differentiable=True)
+                except ValueError:
+                    pass
             return packed_unet_forward(model, params, batch,
                                        deep_supervision=ds,
                                        pack_max_channels=pmc)

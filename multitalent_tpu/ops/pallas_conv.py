@@ -579,10 +579,15 @@ def pallas_conv3d_same_affine(x, w, *, bias=None, in_scale=None,
     (out, stats) with stats[n, 0/1, c] the per-sample channel sum / sum of
     squares of out — enough for the consumer's instance norm without another
     reduction. Raises ValueError when the shape is unsupported."""
+    import os
     n, z, y, xdim, c = x.shape
     kz, ky, kx, cin, cout = w.shape
     if (kz, ky, kx) != (3, 3, 3) or cin != c:
         raise ValueError("unsupported kernel")
+    if c < int(os.environ.get("MTTPU_PALLAS_MIN_CIN", "0")):
+        # tiny C wastes the 128-lane K dim; XLA's implicit-im2col conv
+        # (K = 27*C) is the better formulation below the threshold
+        raise ValueError("cin below pallas threshold")
     if not interpret and jax.default_backend() != "tpu":
         raise ValueError("pallas conv requires a TPU backend")
     has_affine = in_scale is not None
@@ -614,6 +619,109 @@ def pallas_conv3d_same_affine(x, w, *, bias=None, in_scale=None,
         out = out[..., :cout]
         stats = stats[..., :cout]
     return out, stats
+
+
+def _affine_lrelu(x, in_scale, in_shift, slope):
+    """The fused kernel's prologue as XLA ops: leaky_relu(cast(x*s + t)).
+    in_scale/in_shift are (N, C) per-sample (instance norm) or (C,) shared."""
+    bshape = ((in_scale.shape[0],) + (1,) * (x.ndim - 2) + (-1,)
+              if in_scale.ndim == 2 else (-1,))
+    y = (x.astype(jnp.float32) * in_scale.reshape(bshape).astype(jnp.float32)
+         + in_shift.reshape(bshape).astype(jnp.float32))
+    y = y.astype(x.dtype)
+    return jnp.where(y >= 0, y, y * slope)
+
+
+def _ref_conv_affine(x, w, bias, in_scale, in_shift, slope):
+    """XLA reference composition of pallas_conv3d_same_affine (same dtype
+    behavior: fp32 accumulate + bias, rounded to the input dtype)."""
+    y = (x if in_scale is None
+         else _affine_lrelu(x, in_scale, in_shift, slope))
+    out = _ref_conv(y, w).astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    out = out.astype(x.dtype)
+    of = out.astype(jnp.float32)
+    axes = tuple(range(1, x.ndim - 1))
+    stats = jnp.stack([jnp.sum(of, axis=axes),
+                       jnp.sum(of * of, axis=axes)], axis=1)
+    return out, stats
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def conv3d_same_affine_fast(x, w, bias, in_scale, in_shift,
+                            negative_slope=1e-2):
+    """Differentiable fused normalize+conv+stats: Pallas forward when the
+    shape qualifies, composed XLA otherwise. Returns (out, stats) like
+    pallas_conv3d_same_affine. The backward pass recomputes the (cheap,
+    elementwise) normalized tensor and reuses the Pallas dx/wgrad conv
+    kernels; gradients also flow through the stats outputs (the next layer's
+    instance-norm affine is a function of them)."""
+    try:
+        return pallas_conv3d_same_affine(
+            x, w, bias=bias, in_scale=in_scale, in_shift=in_shift,
+            negative_slope=negative_slope)
+    except ValueError:
+        return _ref_conv_affine(x, w, bias, in_scale, in_shift,
+                                negative_slope)
+
+
+def _affine_fast_fwd(x, w, bias, in_scale, in_shift, negative_slope):
+    out, stats = conv3d_same_affine_fast(x, w, bias, in_scale, in_shift,
+                                         negative_slope)
+    return (out, stats), (x, w, in_scale, in_shift, out)
+
+
+def _affine_fast_bwd(negative_slope, res, cts):
+    x, w, in_scale, in_shift, out = res
+    g_out, g_stats = cts
+    # stats = [sum(out), sum(out^2)]: fold their cotangents into out's
+    axes = tuple(range(1, x.ndim - 1))
+    bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (-1,)
+    G = (g_out.astype(jnp.float32)
+         + g_stats[:, 0].reshape(bshape)
+         + 2.0 * out.astype(jnp.float32) * g_stats[:, 1].reshape(bshape))
+    G16 = G.astype(x.dtype)
+    dbias = jnp.sum(G, axis=(0,) + axes)
+
+    if in_scale is not None:
+        y = _affine_lrelu(x, in_scale, in_shift, negative_slope)
+    else:
+        y = x
+
+    # dw via the Pallas wgrad kernel; dY via the Pallas dx kernel
+    if _pallas_wgrad_enabled():
+        try:
+            dw = pallas_conv3d_same_wgrad(y, G16).astype(w.dtype)
+        except ValueError:
+            _, vjp_w = jax.vjp(lambda wv: _ref_conv(y, wv), w)
+            (dw,) = vjp_w(G16)
+    else:
+        _, vjp_w = jax.vjp(lambda wv: _ref_conv(y, wv), w)
+        (dw,) = vjp_w(G16)
+    try:
+        dY = conv3d_same_dx(G16, w)
+    except ValueError:
+        _, vjp_x = jax.vjp(lambda yv: _ref_conv(yv, w), y)
+        (dY,) = vjp_x(G16)
+
+    if in_scale is None:
+        return dY.astype(x.dtype), dw, dbias, None, None
+
+    # y16 = cast(x*s + t); lrelu'(y16) = 1 [y16 >= 0] else slope
+    sshape = (bshape if in_scale.ndim == 2 else (-1,))
+    y16 = (x.astype(jnp.float32)
+           * in_scale.reshape(sshape).astype(jnp.float32)
+           + in_shift.reshape(sshape).astype(jnp.float32)).astype(x.dtype)
+    dy16 = jnp.where(y16 >= 0, dY, dY * negative_slope).astype(jnp.float32)
+    dx = (dy16 * in_scale.reshape(sshape).astype(jnp.float32)).astype(x.dtype)
+    red_axes = axes if in_scale.ndim == 2 else (0,) + axes
+    ds = jnp.sum(dy16 * x.astype(jnp.float32), axis=red_axes)
+    dt = jnp.sum(dy16, axis=red_axes)
+    return dx, dw, dbias, ds.astype(jnp.float32), dt.astype(jnp.float32)
+
+
+conv3d_same_affine_fast.defvjp(_affine_fast_fwd, _affine_fast_bwd)
 
 
 def _ref_conv(x, w):

@@ -233,6 +233,93 @@ def test_fused_inference_forward_matches_packed_forward():
                                rtol=1e-2)
 
 
+def test_fused_train_forward_values_and_grads_match_packed():
+    """Differentiable fused forward (deep supervision) vs the unfused packed
+    forward: values AND parameter gradients of a DS loss must agree."""
+    import jax.numpy as jnp
+    from multitalent_tpu.models.generic_unet import GenericUNet
+    from multitalent_tpu.ops.packed_unet import (packed_unet_forward,
+                                                 packed_unet_forward_fused)
+    model = GenericUNet(input_channels=1, base_num_features=8, num_classes=3,
+                        pool_op_kernel_sizes=((2, 2, 2), (1, 2, 2)),
+                        conv_kernel_sizes=((3, 3, 3),) * 3,
+                        deep_supervision=True, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(18).randn(2, 8, 32, 32, 1),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    tgt = [jnp.asarray(np.random.RandomState(19).randn(2, 8 // max(1, 2 ** i),
+                                                       32 // 2 ** i,
+                                                       32 // 2 ** i, 3),
+                       jnp.float32) for i in range(2)]
+
+    def loss(fwd):
+        def run(p):
+            outs = fwd(p)
+            return sum(jnp.mean((o - t) ** 2)
+                       for o, t in zip(outs[:2], tgt))
+        return run
+
+    ref_fn = loss(lambda p: packed_unet_forward(
+        model, p, x, deep_supervision=True, pack_max_channels=64))
+    fus_fn = loss(lambda p: packed_unet_forward_fused(
+        model, p, x, pack_max_channels=64, deep_supervision=True,
+        differentiable=True))
+    vr, gr = jax.value_and_grad(ref_fn)(params)
+    vf, gf = jax.value_and_grad(fus_fn)(params)
+    np.testing.assert_allclose(float(vr), float(vf), rtol=1e-3)
+    flat_r = jax.tree_util.tree_leaves_with_path(gr)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(gf))
+    for path, leaf in flat_r:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_f[path]), atol=5e-3, rtol=5e-2,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_conv_affine_fast_custom_vjp_matches_autodiff():
+    """conv3d_same_affine_fast's hand backward (incl. gradient flow through
+    the stats outputs) vs jax autodiff of the reference composition."""
+    import jax.numpy as jnp
+    from jax import lax
+    from multitalent_tpu.ops.pallas_conv import (conv3d_same_affine_fast,
+                                                 _ref_conv_affine)
+    rngl = np.random.RandomState(17)
+    n, c, co = 2, 5, 7
+    x = jnp.asarray(rngl.randn(n, 4, 8, 8, c).astype(np.float32))
+    w = jnp.asarray(rngl.randn(3, 3, 3, c, co).astype(np.float32) * 0.3)
+    b = jnp.asarray(rngl.randn(co).astype(np.float32))
+    s = jnp.asarray((rngl.rand(n, c) + 0.5).astype(np.float32))
+    t = jnp.asarray(rngl.randn(n, c).astype(np.float32))
+    go = jnp.asarray(rngl.randn(n, 4, 8, 8, co).astype(np.float32))
+    gs = jnp.asarray(rngl.randn(n, 2, co).astype(np.float32) * 0.01)
+
+    def scalarize(fn):
+        def run(x, w, b, s, t):
+            out, stats = fn(x, w, b, s, t)
+            return jnp.sum(out * go) + jnp.sum(stats * gs)
+        return run
+
+    ref = scalarize(lambda *a: _ref_conv_affine(*a, 1e-2))
+    fast = scalarize(lambda *a: conv3d_same_affine_fast(*a, 1e-2))
+    val_r = float(ref(x, w, b, s, t))
+    val_f = float(fast(x, w, b, s, t))
+    np.testing.assert_allclose(val_r, val_f, rtol=1e-5)
+    gr = jax.grad(ref, argnums=(0, 1, 2, 3, 4))(x, w, b, s, t)
+    gf = jax.grad(fast, argnums=(0, 1, 2, 3, 4))(x, w, b, s, t)
+    for a, bb, name in zip(gr, gf, "xwbst"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-3,
+                                   rtol=1e-3, err_msg=f"grad {name}")
+    # no-affine mode (plain conv + bias + stats)
+    ref2 = scalarize(lambda x_, w_, b_, s_, t_: _ref_conv_affine(
+        x_, w_, b_, None, None, 1e-2))
+    fast2 = scalarize(lambda x_, w_, b_, s_, t_: conv3d_same_affine_fast(
+        x_, w_, b_, None, None, 1e-2))
+    gr2 = jax.grad(ref2, argnums=(0, 1, 2))(x, w, b, s, t)
+    gf2 = jax.grad(fast2, argnums=(0, 1, 2))(x, w, b, s, t)
+    for a, bb, name in zip(gr2, gf2, "xwb"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-3,
+                                   rtol=1e-3, err_msg=f"noaffine grad {name}")
+
+
 def test_pallas_wgrad_interpret_matches_vjp():
     """dw kernel (pallas_conv3d_same_wgrad) vs the XLA conv vjp, interpret
     mode, incl. a multi-block grid and Cin != Cout."""
