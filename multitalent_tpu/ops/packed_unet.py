@@ -437,10 +437,16 @@ def packed_unet_forward_fused(model: GenericUNet, params, x, *,
     if cur != UNPACKED:
         nvox = int(np.prod(raw.shape[1:-1]))
         sc, sh = affine_of(stats, prev_bp, cur, nvox)
+        # bf16 models emit bf16 logits: halves the full-res output write (and
+        # the consumer's re-read) — the sliding-window engine converts to f32
+        # for the sigmoid and accumulates in f32 either way; the default
+        # (non-exact) engine already holds probabilities in bf16
+        out_dt = dtype if dtype == jnp.bfloat16 else jnp.float32
         logits = seghead_d2s(raw.astype(dtype), hw,
                              hb.astype(jnp.float32) if hb is not None else None,
                              factors=cur, in_scale=sc, in_shift=sh,
-                             negative_slope=slope, interpret=interpret)
+                             negative_slope=slope, out_dtype=out_dt,
+                             interpret=interpret)
     else:
         x_mat = materialize(raw, stats, prev_bp, cur)
         logits = _conv_same(x_mat, hw, hb, dtype=dtype).astype(jnp.float32)
