@@ -481,9 +481,12 @@ def _conv_affine_kernel(x_ref, w_ref, aff_ref, bias_ref, out_ref, stats_ref,
     if has_affine:
         xf = xv.astype(jnp.float32) * aff_ref[0, 0] + aff_ref[0, 1]
         # cast before the activation (InstanceNorm -> leaky_relu order in
-        # blocks.py / packed_instance_norm)
+        # blocks.py / packed_instance_norm). The sign test runs on the fp32
+        # value: Mosaic on v5e rejects bf16 cmpf ("Target does not support
+        # this comparison"), and the cast preserves sign, so xf >= 0 picks
+        # the same branch as y16 >= 0 (both branches agree at +-0).
         y16 = xf.astype(xblk.dtype)
-        y16 = jnp.where(y16 >= 0, y16, y16 * slope)
+        y16 = jnp.where(xf >= 0, y16, y16 * slope)
         # zero the halo: valid padded coords are z,y in [1, dim], x in
         # [8, xdim+8) (the +-8 x pre-pad)
         z0 = jax.lax.rem(i, zb) * bz
@@ -563,6 +566,13 @@ def _build_affine(n, z, y, x, c, cout, dtype_name, bz, by, bx, slope,
             bytes_accessed=(n * (z + 2) * (y + 2) * (x + 16) * c * 2
                             + n * z * y * x * cout * 2),
             transcendentals=0),
+        # the interior C=240->256 stages exceed libtpu's default 16 MB scoped
+        # vmem budget by a few hundred KB (double-buffered halo scratch +
+        # resident 3^3 weights at c=256); v5e has 128 MB VMEM, so grant the
+        # kernel headroom instead of shrinking blocks (smaller blocks cost
+        # DMA efficiency on every stage, not just the big-C ones)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )
 

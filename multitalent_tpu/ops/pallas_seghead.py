@@ -8,10 +8,10 @@ layout copies (~14 ms of the 124 ms b2 forward on v5e — measured by xprof);
 fundamentally it is one read of the packed GEMM result that never needed to
 hit HBM at all.
 
-This kernel runs the phase-grouped head GEMM ([M, P*C] x block-diagonal
-[P*C, P*K]) and performs the phase->space interleave in VMEM before the block
-is written, so the only HBM traffic is the bf16 packed input once in and the
-voxel-layout logits once out.
+This kernel runs the phase-grouped head GEMM (one [M, P*C] x [P*C, K] dot per
+phase, each phase's weights zero outside its row block) and performs the
+phase->space interleave in VMEM before the block is written, so the only HBM
+traffic is the bf16 packed input once in and the voxel-layout logits once out.
 
 Reference behavior being fused: the 1x1x1 seg_outputs conv of
 generic_UNet.py:349-351 at inference (only the full-resolution head,
@@ -35,15 +35,26 @@ def _kernel(x_ref, w_ref, b_ref, aff_ref, out_ref, *, bz, by, bx, fy, fx, k,
     pc = xb.shape[-1]
     if has_affine:
         # fused final instance-norm + LeakyReLU (the packed UNet's last
-        # normalize pass): y = lrelu(x*scale + shift), per sample/channel
+        # normalize pass): y = lrelu(x*scale + shift), per sample/channel.
+        # Sign test on the fp32 value: Mosaic on v5e rejects bf16 cmpf, and
+        # the cast preserves sign so xf >= 0 == y16 >= 0 (both agree at +-0).
         xf = xb.astype(jnp.float32) * aff_ref[0, 0] + aff_ref[0, 1]
         y16 = xf.astype(xb.dtype)
-        xb = jnp.where(y16 >= 0, y16, y16 * slope)
-    g = jnp.dot(xb.reshape(m, pc), w_ref[:],
-                preferred_element_type=jnp.float32)      # (m, P*K)
-    g = g + b_ref[:]
-    # phase -> space: (bz, by, bx, fy, fx, K) -> interleave fy into y, fx into x
-    g = g.reshape(bz, by, bx, fy, fx, k)
+        xb = jnp.where(xf >= 0, y16, y16 * slope)
+    # One dot per packing phase: phase p's weight matrix is zero outside rows
+    # [p*C, (p+1)*C), so each dot extracts that phase's head logits without
+    # lane-slicing the input. A single block-diagonal [P*C, P*K] GEMM whose
+    # (m, P*K) result reshapes to (.., fy, fx, K) does the same FLOPs but the
+    # 2D->6D shape cast does not lower ("infer-vector-layout: unsupported
+    # shape cast"); stacking per-phase (.., K) results and interleaving via
+    # the 6D transpose lowers cleanly on v5e.
+    x2 = xb.reshape(m, pc)
+    outs = []
+    for p in range(fy * fx):
+        g = jnp.dot(x2, w_ref[p], preferred_element_type=jnp.float32)
+        outs.append((g + b_ref[:]).reshape(bz, by, bx, k))
+    g = jnp.stack(outs, axis=3).reshape(bz, by, bx, fy, fx, k)
+    # phase -> space: interleave fy into y, fx into x
     g = g.transpose(0, 1, 3, 2, 4, 5)
     out_ref[0] = g.reshape(bz, by * fy, bx * fx, k).astype(out_ref.dtype)
 
@@ -61,8 +72,8 @@ def _build(n, z, yp, xp, pc, k, fy, fx, in_dtype, out_dtype, bz, by, bx,
         in_specs=[
             pl.BlockSpec((1, bz, by, bx, pc),
                          lambda i, j, kk, zb=zb: (i // zb, i % zb, j, kk, 0)),
-            pl.BlockSpec((pc, fy * fx * k), lambda i, j, kk: (0, 0)),
-            pl.BlockSpec((1, fy * fx * k), lambda i, j, kk: (0, 0)),
+            pl.BlockSpec((fy * fx, pc, k), lambda i, j, kk: (0, 0, 0)),
+            pl.BlockSpec((1, k), lambda i, j, kk: (0, 0)),
             pl.BlockSpec((1, 2, pc),
                          lambda i, j, kk, zb=zb: (i // zb, 0, 0)),
         ],
@@ -121,15 +132,14 @@ def seghead_d2s(x_packed, w, b=None, *, factors=(2, 2),
     if blocks is None:
         raise ValueError("unsupported spatial shape")
     bz, by, bx = blocks
-    # block-diagonal weights: phase group p of the input feeds output cols
-    # [p*K, (p+1)*K) — one GEMM covers all phases, zeros elsewhere
+    # per-phase weights: phase p's (P*C, K) matrix holds the head weights in
+    # rows [p*C, (p+1)*C) and zeros elsewhere — one dot per phase in-kernel
     w2 = w[0, 0, 0].astype(x_packed.dtype)            # (C, K)
-    wbd = jnp.zeros((p * c, p * k), x_packed.dtype)
+    wph = jnp.zeros((p, p * c, k), x_packed.dtype)
     for ph in range(p):
-        wbd = jax.lax.dynamic_update_slice(
-            wbd, w2, (ph * c, ph * k))
-    bias = jnp.zeros((1, p * k), jnp.float32) if b is None else \
-        jnp.tile(b.astype(jnp.float32), p)[None]
+        wph = jax.lax.dynamic_update_slice(wph, w2[None], (ph, ph * c, 0))
+    bias = jnp.zeros((1, k), jnp.float32) if b is None else \
+        b.astype(jnp.float32)[None]
     aff = jnp.zeros((n, 2, pc), jnp.float32)
     if has_affine:
         aff = aff.at[:, 0].set(jnp.broadcast_to(
@@ -139,7 +149,7 @@ def seghead_d2s(x_packed, w, b=None, *, factors=(2, 2),
     call = _build(n, z, yp, xp, pc, k, fy, fx, str(x_packed.dtype),
                   str(jnp.dtype(out_dtype)), bz, by, bx,
                   float(negative_slope), has_affine, interpret)
-    return call(x_packed, wbd, bias, aff)
+    return call(x_packed, wph, bias, aff)
 
 
 def seghead_enabled() -> bool:
