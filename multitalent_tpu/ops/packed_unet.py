@@ -478,7 +478,12 @@ def make_inference_apply_fn(model):
                 and _packed_enabled("MTTPU_PACKED_CONV"))
     if packable:
         pmc = int(os.environ.get("MTTPU_PACK_MAX_CHANNELS", "128"))
-        fuse = _packed_enabled("MTTPU_FUSED_NORM")
+        # conv+norm chain fusion is OPT-IN: on v5e hardware the fused chain
+        # measured 43.0 s/volume steady-state vs 29.3 s for the plain packed
+        # schedule (round-2 bisect) — the RAW-output stats chain defeats XLA's
+        # own conv/elementwise fusion and adds VMEM pressure that serializes
+        # the tap-GEMM double-buffering.
+        fuse = os.environ.get("MTTPU_FUSED_NORM") == "1"
 
         def apply_fn(params, batch):
             if fuse:

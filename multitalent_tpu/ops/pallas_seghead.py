@@ -153,8 +153,12 @@ def seghead_d2s(x_packed, w, b=None, *, factors=(2, 2),
 
 
 def seghead_enabled() -> bool:
+    """Opt-in (MTTPU_PALLAS_SEGHEAD=1). The fused head+depth-to-space kernel
+    compiles and is bit-correct on v5e, but end-to-end it LOSES to the XLA
+    pointwise-conv + d2s path it replaces: steady-state sliding-window volume
+    54.4 s (seghead only) vs 29.3 s (neither fused kernel) on the round-2
+    hardware bisect — the kernel's phase-grouped GEMM serializes work the
+    packed schedule otherwise overlaps. Kept as an exemplar and for future
+    re-tuning."""
     import os
-    val = os.environ.get("MTTPU_PALLAS_SEGHEAD")
-    if val is not None:
-        return val != "0"
-    return jax.devices()[0].platform == "tpu"
+    return os.environ.get("MTTPU_PALLAS_SEGHEAD") == "1"
