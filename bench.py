@@ -194,13 +194,16 @@ def _measure(device, on_tpu: bool) -> dict:
     params = jax.jit(model.init)(jax.device_put(jax.random.PRNGKey(0), device),
                                  example)["params"]
 
-    from multitalent_tpu.ops.packed_unet import make_inference_apply_fn
+    from multitalent_tpu.ops.packed_unet import (make_inference_apply_fn,
+                                                 make_packed_inference_apply_fn)
     apply_fn = make_inference_apply_fn(model)
+    pfn, pfac = make_packed_inference_apply_fn(model, patch)
 
     predictor = SlidingWindowPredictor(
         apply_fn, patch, in_channels=1, num_classes=47, nonlin="sigmoid",
         step_size=0.5, do_mirroring=True, mirror_axes=(0, 1, 2),
-        use_gaussian=True, device=device)
+        use_gaussian=True, device=device,
+        packed_apply=(pfn, pfac) if pfn is not None else None)
 
     vol = _phantom_volume(volume_shape)
 
@@ -229,11 +232,18 @@ def _measure(device, on_tpu: bool) -> dict:
     n_repeats = 3 if on_tpu else 1
     pending = None
     per_repeat = []
+    # volume i+1's host->device put is issued right after dispatching volume
+    # i's compute: the ~125 MB transfer then streams over the relay while the
+    # device is busy instead of serializing in front of the next dispatch
+    # (predict_cases pipelines identically)
+    next_put = predictor.begin_put(vol)
     for _ in range(n_repeats):
         t0 = time.time()
         token = rle_fetch_begin(pending[0]) if pending is not None else None
-        packed_dev, slicer = predictor.predict_to_device(params, vol,
+        packed_dev, slicer = predictor.predict_to_device(params,
+                                                         preput=next_put,
                                                          pack_threshold=0.5)
+        next_put = predictor.begin_put(vol)
         if pending is not None:
             pk = rle_fetch_finish(token)[tuple(pending[1]) + (slice(None),)]
             unpack_class_bits(pk, 47)

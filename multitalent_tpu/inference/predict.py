@@ -104,12 +104,16 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
     predictor = trainer.get_sliding_window_predictor(do_mirroring=do_tta,
                                                      step_size=step_size)
 
-    def run_case(data):
+    def run_case(preput):
         """Fold-ensemble prediction summed ON DEVICE; host fetch deferred so the
-        transfer of one case overlaps the next case's compute."""
+        transfer of one case overlaps the next case's compute. `preput` is a
+        begin_put token: the volume ships host->device ONCE per case (not per
+        fold), and the put itself was issued during the previous case's
+        compute."""
         probs_sum, slicer = None, None
         for params in all_fold_params:
-            probs_dev, slicer = predictor.predict_to_device(params, data)
+            probs_dev, slicer = predictor.predict_to_device(params,
+                                                            preput=preput)
             probs_sum = probs_dev if probs_sum is None else probs_sum + probs_dev
         return probs_sum, slicer
 
@@ -224,12 +228,20 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
                     os.path.join(rdir, case_id + ".nii.gz"), dict(properties),
                     1, ((1,),)))
 
-    for out_fname, (data, properties) in zip(output_filenames, preprocessed):
+    cases = zip(output_filenames, preprocessed)
+    nxt = next(cases, None)
+    next_put = predictor.begin_put(nxt[1][0]) if nxt is not None else None
+    while nxt is not None:
+        out_fname, (data, properties) = nxt
+        cur_put = next_put
         # pipeline: enqueue the PREVIOUS case's export programs first (device
-        # is idle here), dispatch this case's compute, then fetch + write the
-        # previous case's outputs while this case computes
+        # is idle here), dispatch this case's compute, issue the NEXT case's
+        # host->device put (streams while this case computes), then fetch +
+        # write the previous case's outputs while this case computes
         token = flush_begin(pending) if pending is not None else None
-        probs_dev, slicer = run_case(data)
+        probs_dev, slicer = run_case(cur_put)
+        nxt = next(cases, None)
+        next_put = predictor.begin_put(nxt[1][0]) if nxt is not None else None
         if pending is not None:
             flush_finish(pending, token)
         pending = (out_fname, probs_dev, slicer, properties)

@@ -127,19 +127,28 @@ def packable_stages(model: GenericUNet, patch_size: Sequence[int],
 
 def packed_unet_forward(model: GenericUNet, params, x, *,
                         deep_supervision: bool = False,
-                        pack_max_channels: int = 128):
+                        pack_max_channels: int = 128,
+                        packed_output: bool = False):
     """Forward pass equal to model.apply({'params': params}, x,
     deep_supervision=...) but with the leading stages executed packed.
 
     x: (N, Z, Y, X, C_in) float array. Returns full-res logits (fp32) or the
-    deep-supervision list, highest resolution first."""
+    deep-supervision list, highest resolution first.
+
+    packed_output=True (inference only): the final seg-head logits are
+    returned still in the stage-0 packed layout (N, Z, Y/fy, X/fx, P*K),
+    phase-major — skipping the full-resolution depth-to-space, the single
+    largest layout copy of the forward (~14 ms per b2 flagship forward on
+    v5e). The sliding-window engine accumulates in packed space and performs
+    one depth-to-space per VOLUME at finalize instead of one per tile."""
     num_pool = model.num_pool
     dtype = model.dtype
     slope = model.negative_slope
     sfactors = stage_factors(model, x.shape[1:4], pack_max_channels)
     if all(f == UNPACKED for f in sfactors):
-        return model.apply({"params": params}, x,
-                           deep_supervision=deep_supervision)
+        out = model.apply({"params": params}, x,
+                          deep_supervision=deep_supervision)
+        return (out, UNPACKED) if packed_output else out
 
     x = x.astype(dtype)
     cur = sfactors[0]
@@ -220,6 +229,13 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
             hb = hp.get("bias") if model.seg_output_bias else None
             if cur != UNPACKED:
                 logits = None
+                if packed_output and not deep_supervision:
+                    # caller accumulates in packed space; no d2s at all
+                    logits = pc.packed_pointwise_conv3d(
+                        x.astype(dtype), hw.astype(dtype),
+                        jnp.tile(hb.astype(dtype), pc.nphases(cur))
+                        if hb is not None else None, factors=cur)
+                    return logits.astype(jnp.float32), cur
                 if not deep_supervision:
                     # inference: fused GEMM + depth-to-space kernel keeps the
                     # packed head result out of HBM (saves ~14 ms of layout
@@ -242,11 +258,46 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                     logits = pc.depth_to_space_yx(logits, cur)
             else:
                 logits = _conv_same(x, hw, hb, dtype=dtype)
+                if packed_output and not deep_supervision:
+                    return logits.astype(jnp.float32), UNPACKED
             seg_outputs.append(logits.astype(jnp.float32))
 
     if deep_supervision:
         return seg_outputs[::-1]
     return seg_outputs[-1]
+
+
+def make_packed_inference_apply_fn(model, patch_size):
+    """(apply_fn, factors) for packed-space sliding-window accumulation.
+
+    apply_fn(params, batch) returns the final seg-head logits still in the
+    stage-0 packed layout (N, Z, Y/fy, X/fx, P*K), phase-major, for inputs of
+    exactly `patch_size`; `factors` are the (fy, fx) the caller must use to
+    interpret them. Returns (None, UNPACKED) when packed execution doesn't
+    apply to this model/patch — callers fall back to
+    make_inference_apply_fn."""
+    import os
+    packable = (isinstance(model, GenericUNet)
+                and model.norm == "instance"
+                and model.nonlin == "leaky_relu"
+                and model.dropout_rate == 0.0
+                and _packed_enabled("MTTPU_PACKED_CONV"))
+    if not packable:
+        return None, UNPACKED
+    pmc = int(os.environ.get("MTTPU_PACK_MAX_CHANNELS", "128"))
+    factors = stage_factors(model, tuple(int(p) for p in patch_size), pmc)[0]
+    if factors == UNPACKED:
+        return None, UNPACKED
+
+    def apply_fn(params, batch):
+        out, f = packed_unet_forward(model, params, batch,
+                                     deep_supervision=False,
+                                     pack_max_channels=pmc,
+                                     packed_output=True)
+        assert f == factors, (f, factors)
+        return out
+
+    return apply_fn, factors
 
 
 def packed_unet_forward_fused(model: GenericUNet, params, x, *,

@@ -99,23 +99,42 @@ def mirror_combinations(mirror_axes: tuple[int, ...]) -> list[tuple[int, ...]]:
 @lru_cache(maxsize=32)
 def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
                        mirror_axes, use_gaussian, nonlin, tta_chunk,
-                       exact=False):
+                       exact=False, packed_factors=(1, 1)):
     """Builds + jits the scan-over-tiles program. apply_fn_id carries the callable
-    (wrapped for hashability by the caller)."""
+    (wrapped for hashability by the caller).
+
+    packed_factors=(fy, fx) != (1, 1): apply_fn returns logits in space-to-
+    depth packed layout (B, Z, Y/fy, X/fx, P*K), phase-major, and the whole
+    accumulation (gaussian weighting, TTA unflip, accumulators) runs in that
+    layout — one depth-to-space per volume at finalize instead of one per
+    tile (the d2s of full-res 47-channel logits is the largest layout copy of
+    the packed forward, ~14 ms per b2 flagship forward on v5e). Requires the
+    padded volume dims and every tile offset to be divisible by the factors
+    (checked by the caller)."""
     apply_fn = apply_fn_id.fn
     patch = tuple(int(p) for p in patch_size)
+    fy, fx = int(packed_factors[0]), int(packed_factors[1])
+    nph = fy * fx
+    assert patch[1] % fy == 0 and patch[2] % fx == 0
     combos = mirror_combinations(mirror_axes)
     if use_gaussian:
-        gauss = jnp.asarray(get_gaussian_importance_map(patch))[..., None]
+        g = get_gaussian_importance_map(patch)
         if not exact:
             # tail weights clamped to 1e-4: the raw map's corner values (~1e-11
             # for large patches) underflow the fp16 accumulators; relative to
             # the 1.0 center weight both are zero for blending purposes (the
             # reference's own fp16 all_in_gpu mode simply breaks at such
             # voxels). `exact` mode keeps the raw weights (fp32 accumulators).
-            gauss = jnp.maximum(gauss, 1e-4)
+            g = np.maximum(g, 1e-4)
     else:
-        gauss = jnp.ones(patch, jnp.float32)[..., None]
+        g = np.ones(patch, np.float32)
+    # packed phase-major layout of the gaussian map: (Z, Y/fy, X/fx, P);
+    # for (1, 1) this is the plain (Z, Y, X, 1) map
+    g = g.reshape(patch[0], patch[1] // fy, fy, patch[2] // fx, fx)
+    gauss = jnp.asarray(np.ascontiguousarray(
+        g.transpose(0, 1, 3, 2, 4).reshape(
+            patch[0], patch[1] // fy, patch[2] // fx, nph)))
+    patch_p = (patch[0], patch[1] // fy, patch[2] // fx)
     acc_dtype = jnp.float32 if exact else jnp.float16
     prob_dtype = jnp.float32 if exact else jnp.bfloat16
     chunk = max(1, min(int(tta_chunk), len(combos)))
@@ -135,6 +154,19 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             x = jnp.where(bits[ax], jnp.flip(x, axis=ax), x)
         return x
 
+    def flip_sel_packed(x, bits):
+        """Unflip in packed space: x (Z, Y/fy, X/fx, P*K). A full-res flip of
+        an even-length packed axis (y = fy*b + p -> Y-1-y = fy*(Yb-1-b) +
+        (fy-1-p)) is a flip of the block axis plus a reversal of that axis's
+        phases."""
+        if nph == 1:
+            return flip_sel(x, bits)
+        v = x.reshape(x.shape[:3] + (fy, fx, num_classes))
+        v = jnp.where(bits[0], jnp.flip(v, axis=0), v)
+        v = jnp.where(bits[1], jnp.flip(jnp.flip(v, axis=1), axis=3), v)
+        v = jnp.where(bits[2], jnp.flip(jnp.flip(v, axis=2), axis=4), v)
+        return v.reshape(x.shape)
+
     def _accumulate(acc, cnt, params, padded_volume, z, y, x, weight, bits,
                     vmask):
         """One tile x one TTA chunk: batched flipped forward, gaussian-weighted
@@ -145,7 +177,13 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         batch = jax.vmap(lambda b: flip_sel(tile, b))(bits)
         logits = apply_fn(params, batch).astype(jnp.float32)
         if nonlin == "softmax":
-            probs = jax.nn.softmax(logits, axis=-1)
+            if nph > 1:  # per-phase class softmax in packed layout
+                shp = logits.shape
+                probs = jax.nn.softmax(
+                    logits.reshape(shp[:-1] + (nph, num_classes)), axis=-1
+                ).reshape(shp)
+            else:
+                probs = jax.nn.softmax(logits, axis=-1)
         elif nonlin == "sigmoid":
             probs = jax.nn.sigmoid(logits)
         else:
@@ -155,7 +193,7 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         # batch fits (conv throughput scales strongly with batch on TPU);
         # the reference's all_in_gpu mode makes the same precision trade
         # with fp16 (neural_network.py:338-364)
-        unflipped = jax.vmap(flip_sel)(probs.astype(prob_dtype), bits)
+        unflipped = jax.vmap(flip_sel_packed)(probs.astype(prob_dtype), bits)
         v = vmask.astype(prob_dtype).reshape(
             (vmask.shape[0],) + (1,) * (unflipped.ndim - 1))
         mean_scaled = jnp.sum(unflipped * v, axis=0,
@@ -163,16 +201,22 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
 
         # accumulators are stored fp16 (the reference's all_in_gpu mode does
         # the same, neural_network.py:338-364); the add itself runs in fp32
-        contrib = mean_scaled * gauss * weight
-        cur = jax.lax.dynamic_slice(acc, (z, y, x, 0), (*patch, num_classes))
+        zp, yp, xp = z, y // fy, x // fx
+        gauss_b = (gauss[..., None] if nph > 1 else gauss)
+        ms = (mean_scaled.reshape(patch_p + (nph, num_classes))
+              if nph > 1 else mean_scaled)
+        contrib = (ms * gauss_b * weight).reshape(
+            patch_p + (nph * num_classes,))
+        cur = jax.lax.dynamic_slice(acc, (zp, yp, xp, 0),
+                                    (*patch_p, nph * num_classes))
         acc = jax.lax.dynamic_update_slice(
             acc, (cur.astype(jnp.float32) + contrib).astype(acc.dtype),
-            (z, y, x, 0))
-        cur_c = jax.lax.dynamic_slice(cnt, (z, y, x, 0), (*patch, 1))
+            (zp, yp, xp, 0))
+        cur_c = jax.lax.dynamic_slice(cnt, (zp, yp, xp, 0), (*patch_p, nph))
         new_c = (cur_c.astype(jnp.float32)
                  + gauss * (weight / len(combos)) * jnp.sum(v))
         cnt = jax.lax.dynamic_update_slice(cnt, new_c.astype(cnt.dtype),
-                                           (z, y, x, 0))
+                                           (zp, yp, xp, 0))
         return acc, cnt
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -219,6 +263,19 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             _loop_fns[n_padded] = run_loop
         return _loop_fns[n_padded]
 
+    def _blend(acc, cnt):
+        """acc / cnt in packed space -> full-res (Z, Y, X, K) fp32 probs."""
+        a = acc.astype(jnp.float32)
+        c = cnt.astype(jnp.float32)
+        c = jnp.where(c == 0, 1.0, c)
+        if nph > 1:
+            a = a.reshape(a.shape[:3] + (nph, num_classes))
+            out = (a / c[..., None]).reshape(
+                a.shape[:3] + (nph * num_classes,))
+            from multitalent_tpu.ops.packed_conv import depth_to_space_yx
+            return depth_to_space_yx(out[None], (fy, fx))[0]
+        return a / c
+
     @jax.jit
     def finalize_packed(acc, cnt, threshold):
         """Threshold the blended probabilities on device and pack the class
@@ -226,9 +283,7 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         probabilities (the tunnelled-TPU link moves ~8 MB/s, so for 47-region
         MultiTalent inference the fetch — not the compute — dominates
         end-to-end time unless the reduction happens on device)."""
-        a = acc.astype(jnp.float32)
-        c = cnt.astype(jnp.float32)
-        probs = a / jnp.where(c == 0, 1.0, c)
+        probs = _blend(acc, cnt)
         bits = (probs > threshold)
         nwords = (num_classes + 31) // 32
         pad = nwords * 32 - num_classes
@@ -246,9 +301,7 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         # aggregated_results / aggregated_nb_of_predictions, neural_network.py:399).
         # fp16 result: halves the device->host transfer; the reference itself
         # stores exported softmax as fp16 (segmentation_export.py:116)
-        a = acc.astype(jnp.float32)
-        c = cnt.astype(jnp.float32)
-        out = a / jnp.where(c == 0, 1.0, c)
+        out = _blend(acc, cnt)
         return out if exact else out.astype(jnp.float16)
 
     # per-chunk flip masks as host arrays: avoids eager device indexing ops (each
@@ -273,15 +326,21 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             groups.append((np.ascontiguousarray(cg), wg))
         return groups
 
+    def _acc_shapes(padded_volume):
+        vz, vy, vx = padded_volume.shape[:3]
+        assert vy % fy == 0 and vx % fx == 0
+        sp = (vz, vy // fy, vx // fx)
+        return sp + (nph * num_classes,), sp + (nph,)
+
     def run(params, padded_volume, coords_host: np.ndarray, devices=None,
             pack_threshold=None):
         import os
         if devices is not None and len(devices) > 1:
             return _run_sharded(params, padded_volume, coords_host, devices,
                                 pack_threshold)
-        out_shape = padded_volume.shape[:-1] + (num_classes,)
-        acc = jnp.zeros(out_shape, acc_dtype)
-        cnt = jnp.zeros(padded_volume.shape[:-1] + (1,), acc_dtype)
+        acc_shape, cnt_shape = _acc_shapes(padded_volume)
+        acc = jnp.zeros(acc_shape, acc_dtype)
+        cnt = jnp.zeros(cnt_shape, acc_dtype)
         if os.environ.get("MTTPU_SW_DEVICE_LOOP", "1") != "0":
             n = coords_host.shape[0]
             n_padded = -(-n // 8) * 8
@@ -308,14 +367,14 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         independent), the partial accumulators sum on device 0 at the end.
         Near-linear scaling — no collectives, no cross-device sync until the
         final reduction."""
-        out_shape = padded_volume.shape[:-1] + (num_classes,)
+        acc_shape, cnt_shape = _acc_shapes(padded_volume)
         vols, params_d, accs, cnts = [], [], [], []
         for dev in devices:
             vols.append(jax.device_put(padded_volume, dev))
             params_d.append(jax.device_put(params, dev))
-            accs.append(jax.device_put(jnp.zeros(out_shape, acc_dtype), dev))
+            accs.append(jax.device_put(jnp.zeros(acc_shape, acc_dtype), dev))
             cnts.append(jax.device_put(
-                jnp.zeros(padded_volume.shape[:-1] + (1,), acc_dtype), dev))
+                jnp.zeros(cnt_shape, acc_dtype), dev))
         n_dev = len(devices)
         for i, (cg, wg) in enumerate(_tile_groups(coords_host)):
             d = i % n_dev
@@ -358,10 +417,19 @@ class SlidingWindowPredictor:
                  nonlin: str = "softmax", step_size: float = 0.5,
                  do_mirroring: bool = True, mirror_axes: tuple[int, ...] = (0, 1, 2),
                  use_gaussian: bool = True, tta_chunk: int = 4, device=None,
-                 devices=None, exact: bool | None = None):
+                 devices=None, exact: bool | None = None, packed_apply=None):
         self.device = device   # optional jax.Device pin (default: backend default)
         self.devices = devices  # optional device list: tiles shard round-robin
         self.apply_fn = _HashableFn(apply_fn)
+        # (apply_fn, (fy, fx)) returning space-to-depth packed logits (from
+        # packed_unet.make_packed_inference_apply_fn): accumulation runs in
+        # packed space when the volume/tile geometry divides by the factors;
+        # falls back to `apply_fn` otherwise. Output-equivalent either way.
+        self.packed_apply = None
+        if packed_apply is not None and tuple(packed_apply[1]) != (1, 1):
+            self.packed_apply = (_HashableFn(packed_apply[0]),
+                                 (int(packed_apply[1][0]),
+                                  int(packed_apply[1][1])))
         self.patch_size = tuple(int(p) for p in patch_size)
         self.in_channels = in_channels
         self.num_classes = num_classes
@@ -420,8 +488,30 @@ class SlidingWindowPredictor:
                                                          + (slice(None),)]
         return np.moveaxis(probs, -1, 0)
 
-    def predict_to_device(self, params, volume_czyx: np.ndarray,
-                          pack_threshold=None):
+    def begin_put(self, volume_czyx: np.ndarray):
+        """Pad + enqueue the host->device transfer of a volume, returning a
+        token for predict_to_device(..., preput=token).
+
+        device_put is asynchronous, so a pipelined caller issues the NEXT
+        volume's put right after dispatching the current volume's compute —
+        the transfer then streams while the device is busy instead of
+        serializing in front of the next dispatch (the tunnelled-TPU link
+        moves the ~125 MB padded bench volume in ~6-18 s, a quarter of
+        end-to-end volume time when paid serially). In the default
+        (non-exact) mode the volume ships as fp16 — half the bytes; the
+        network computes in bf16 either way ('exact' keeps fp32 end to end
+        for reference parity)."""
+        import jax
+        vol = np.moveaxis(np.ascontiguousarray(volume_czyx, np.float32), 0, -1)
+        padded, slicer = pad_to_patch(vol, self.patch_size)
+        if not self.exact:
+            padded = padded.astype(np.float16)
+        coords = self.tile_coords(padded.shape[:-1])
+        vol_dev = jax.device_put(padded, self.device)
+        return vol_dev, coords, slicer
+
+    def predict_to_device(self, params, volume_czyx: np.ndarray = None,
+                          pack_threshold=None, preput=None):
         """Run the tiled prediction, returning (device fp16 probs ZYXK, slicer)
         WITHOUT the device->host transfer — callers can overlap the fetch of one
         volume with the compute of the next (predict_cases does).
@@ -430,18 +520,28 @@ class SlidingWindowPredictor:
         (Z, Y, X, ceil(K/32)) of thresholded class bits — use when only the
         binary masks are needed (predict_MultiTalent's per-region exports):
         the host fetch shrinks ~16x, which dominates end-to-end time on
-        low-bandwidth device links."""
+        low-bandwidth device links.
+
+        `preput`: a begin_put token; pass it to overlap the volume's
+        host->device transfer with the previous volume's compute."""
         import jax
-        vol = np.moveaxis(np.ascontiguousarray(volume_czyx, np.float32), 0, -1)
-        padded, slicer = pad_to_patch(vol, self.patch_size)
-        coords = self.tile_coords(padded.shape[:-1])
-        vol_dev = jax.device_put(padded, self.device)
+        if preput is None:
+            preput = self.begin_put(volume_czyx)
+        vol_dev, coords, slicer = preput
+        padded = vol_dev  # shape source only; data stays on device
+        apply_id, factors = self.apply_fn, (1, 1)
+        if self.packed_apply is not None:
+            pfy, pfx = self.packed_apply[1]
+            if (padded.shape[1] % pfy == 0 and padded.shape[2] % pfx == 0
+                    and not (coords[:, 1] % pfy).any()
+                    and not (coords[:, 2] % pfx).any()):
+                apply_id, factors = self.packed_apply
         chunk = min(self.tta_chunk, self._chunk_fitting_memory(padded.shape[:-1]))
         while True:
             runner = _make_tiled_runner(
-                self.apply_fn, self.patch_size, self.in_channels,
+                apply_id, self.patch_size, self.in_channels,
                 self.num_classes, self.mirror_axes, self.use_gaussian,
-                self.nonlin, chunk, self.exact)
+                self.nonlin, chunk, self.exact, factors)
             try:
                 probs = runner(params, vol_dev, coords, devices=self.devices,
                                pack_threshold=pack_threshold)

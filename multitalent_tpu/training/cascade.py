@@ -252,17 +252,21 @@ class TrainerV2CascadeFullRes(TrainerV2):
             f"cascade inference expects {self.num_input_channels}+"
             f"{self.num_prev_classes} channels, got {data.shape[0]} "
             "(append the one-hot previous-stage segmentation)")
-        from multitalent_tpu.ops.packed_unet import make_inference_apply_fn
+        from multitalent_tpu.ops.packed_unet import (
+            make_inference_apply_fn, make_packed_inference_apply_fn)
         from multitalent_tpu.ops.sliding_window import (
             SlidingWindowPredictor, segmentation_from_probabilities)
         apply_fn = make_inference_apply_fn(self.network)
+        patch = tuple(int(p) for p in self.patch_size)
+        pfn, pfac = make_packed_inference_apply_fn(self.network, patch)
 
         predictor = SlidingWindowPredictor(
-            apply_fn, tuple(int(p) for p in self.patch_size),
+            apply_fn, patch,
             in_channels=self.num_input_channels + self.num_prev_classes,
             num_classes=self.num_classes, nonlin=self.inference_nonlin,
             step_size=step_size, do_mirroring=do_mirroring,
-            use_gaussian=use_gaussian)
+            use_gaussian=use_gaussian,
+            packed_apply=(pfn, pfac) if pfn is not None else None)
         probs = predictor(params if params is not None else self.state.params, data)
         return segmentation_from_probabilities(np.asarray(probs),
                                                self.regions_class_order), probs

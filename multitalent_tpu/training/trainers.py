@@ -486,16 +486,23 @@ class TrainerV2(NetworkTrainerBase):
                                      use_gaussian: bool = True):
         """Tiled predictor over this trainer's network
         (SegmentationNetwork.predict_3D analog, neural_network.py:73)."""
-        from multitalent_tpu.ops.packed_unet import make_inference_apply_fn
+        from multitalent_tpu.ops.packed_unet import (
+            make_inference_apply_fn, make_packed_inference_apply_fn)
         from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
         apply_fn = make_inference_apply_fn(self.network)
+        patch = tuple(int(p) for p in self.patch_size)
+        packed_apply = None
+        if self.threeD:
+            pfn, pfac = make_packed_inference_apply_fn(self.network, patch)
+            if pfn is not None:
+                packed_apply = (pfn, pfac)
         mirror_axes = (0, 1, 2) if self.threeD else (0, 1)
         return SlidingWindowPredictor(
-            apply_fn, tuple(int(p) for p in self.patch_size),
+            apply_fn, patch,
             in_channels=self.num_input_channels, num_classes=self.num_classes,
             nonlin=self.inference_nonlin, step_size=step_size,
             do_mirroring=do_mirroring, mirror_axes=mirror_axes,
-            use_gaussian=use_gaussian)
+            use_gaussian=use_gaussian, packed_apply=packed_apply)
 
     def predict_preprocessed_data_return_seg_and_softmax(
             self, data: np.ndarray, do_mirroring: bool = True,

@@ -419,6 +419,107 @@ def probe_train():
     print(f"full step (avg over {n} keys): {dt*1e3:7.1f} ms", flush=True)
 
 
+
+
+def probe_engine():
+    """Engine-overhead decomposition at the bench volume: device_put of the
+    volume, devloop with a near-zero apply_fn (engine-only), finalize+RLE."""
+    import jax
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.sliding_window import (SlidingWindowPredictor,
+                                                    fetch_packed_rle,
+                                                    unpack_class_bits)
+    patch = (96, 192, 192)
+    vshape = (256, 320, 320)
+    vol = np.random.RandomState(0).randn(1, *vshape).astype(np.float32)
+
+    # 1) volume put (the padded (256,320,320,1) fp32 = 125 MB)
+    pv = np.moveaxis(vol, 0, -1)
+    for rep in range(2):
+        t0 = time.time()
+        d = jax.device_put(pv)
+        sync(d)
+        print(f"device_put fp32 volume: {time.time()-t0:6.2f} s", flush=True)
+    t0 = time.time()
+    d16 = jax.device_put(pv.astype(np.float16))
+    sync(d16)
+    print(f"device_put fp16 volume: {time.time()-t0:6.2f} s", flush=True)
+
+    # 2) engine-only: trivial apply (one multiply, broadcast to 47 channels)
+    dummy_w = jnp.ones((1, 47), jnp.bfloat16)
+
+    def tiny_apply(params, batch):
+        return (batch.astype(jnp.bfloat16) * params).astype(jnp.float32) \
+            if False else jnp.broadcast_to(
+                batch.astype(jnp.bfloat16), batch.shape[:-1] + (47,)
+            ).astype(jnp.float32) * 0.1
+
+    pred = SlidingWindowPredictor(tiny_apply, patch, in_channels=1,
+                                  num_classes=47, nonlin="sigmoid",
+                                  step_size=0.5, do_mirroring=True,
+                                  mirror_axes=(0, 1, 2), use_gaussian=True,
+                                  tta_chunk=2)
+    for rep in range(3):
+        t0 = time.time()
+        packed_dev, slicer = pred.predict_to_device(dummy_w, vol,
+                                                    pack_threshold=0.5)
+        jax.block_until_ready(packed_dev)
+        # sync via 1-elem fetch
+        np.asarray(packed_dev.ravel()[:1])
+        t1 = time.time()
+        print(f"engine-only volume (compute+finalize): {t1-t0:6.2f} s",
+              flush=True)
+    t0 = time.time()
+    pk = fetch_packed_rle(packed_dev)
+    t1 = time.time()
+    unpack_class_bits(pk[tuple(slicer) + (slice(None),)], 47)
+    print(f"rle fetch: {t1-t0:6.2f} s  unpack: {time.time()-t1:6.2f} s",
+          flush=True)
+
+
+
+
+def probe_put():
+    """Does H2D device_put overlap with running compute on the relay?"""
+    import jax
+    import jax.numpy as jnp
+    host = np.random.RandomState(0)
+    vol = host.randn(256, 320, 320, 1).astype(np.float32)
+    vol16 = vol.astype(np.float16)
+    volb = vol.astype(jnp.bfloat16)
+
+    # a ~7s compute: chained matmuls
+    a = jnp.asarray(host.randn(4096, 4096), jnp.bfloat16)
+
+    @jax.jit
+    def burn(a):
+        for _ in range(600):
+            a = jnp.tanh(a @ a) * 0.5
+        return a
+    sync(burn(a))
+    t0 = time.time(); r = burn(a); sync(r)
+    t_burn = time.time() - t0
+    print(f"burn alone: {t_burn:6.2f} s", flush=True)
+
+    for label, v in (("fp32", vol), ("fp16", vol16), ("bf16", volb)):
+        t0 = time.time(); d = jax.device_put(v); sync(d)
+        print(f"put {label} alone: {time.time()-t0:6.2f} s", flush=True)
+        del d
+    # overlapped: dispatch burn first, then put while it runs
+    t0 = time.time()
+    r = burn(a)
+    d = jax.device_put(vol)
+    sync(r); sync(d)
+    print(f"burn + fp32 put overlapped: {time.time()-t0:6.2f} s "
+          f"(sum would be {t_burn + 7:.0f}ish)", flush=True)
+    # put dispatched first, then burn
+    t0 = time.time()
+    d = jax.device_put(vol)
+    r = burn(a)
+    sync(r); sync(d)
+    print(f"fp32 put then burn: {time.time()-t0:6.2f} s", flush=True)
+
+
 if __name__ == "__main__":
     from multitalent_tpu.configuration import enable_compilation_cache
     enable_compilation_cache()

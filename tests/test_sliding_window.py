@@ -270,3 +270,55 @@ def test_fetch_packed_rle_roundtrip():
         # the pipelined begin/finish split is byte-identical to the one-shot
         token = rle_fetch_begin(jnp.asarray(packed))
         np.testing.assert_array_equal(rle_fetch_finish(token), packed)
+
+
+def test_packed_accumulation_matches_plain():
+    """The packed-space accumulation path (apply_fn emitting space-to-depth
+    packed logits + packed accumulators/gaussian/TTA-unflip) must reproduce
+    the plain path bit-for-bit up to accumulator precision on a real packed
+    GenericUNet forward."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from multitalent_tpu.models.generic_unet import GenericUNet
+    from multitalent_tpu.ops.packed_unet import (
+        make_inference_apply_fn, make_packed_inference_apply_fn)
+
+    os.environ["MTTPU_PACKED_CONV"] = "1"  # packed path is TPU-default only
+    try:
+        pools = ((2, 2, 2), (1, 2, 2))
+        model = GenericUNet(input_channels=1, base_num_features=8,
+                            num_classes=5, pool_op_kernel_sizes=pools,
+                            conv_kernel_sizes=((3, 3, 3),) * 3,
+                            deep_supervision=False, dtype=jnp.float32)
+        patch = (8, 16, 16)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1)))["params"]
+        apply_fn = make_inference_apply_fn(model)
+        pfn, pfac = make_packed_inference_apply_fn(model, patch)
+        assert pfn is not None and pfac == (2, 2)
+
+        base = dict(patch_size=patch, in_channels=1, num_classes=5,
+                    nonlin="sigmoid", step_size=0.5, do_mirroring=True,
+                    use_gaussian=True)
+        vol = np.random.RandomState(7).randn(1, 12, 32, 24).astype(np.float32)
+        plain = SlidingWindowPredictor(apply_fn, **base)(params, vol)
+        packed = SlidingWindowPredictor(apply_fn, packed_apply=(pfn, pfac),
+                                        **base)(params, vol)
+        assert packed.shape == plain.shape == (5, 12, 32, 24)
+        np.testing.assert_allclose(packed, plain, atol=2e-3)
+
+        # odd X extent: offsets/dims don't divide -> silent fallback to plain
+        vol_odd = np.random.RandomState(8).randn(1, 12, 32, 17).astype(
+            np.float32)
+        plain_o = SlidingWindowPredictor(apply_fn, **base)(params, vol_odd)
+        packed_o = SlidingWindowPredictor(apply_fn, packed_apply=(pfn, pfac),
+                                          **base)(params, vol_odd)
+        np.testing.assert_allclose(packed_o, plain_o, atol=2e-3)
+
+        # bit-packed threshold export agrees too
+        pp = SlidingWindowPredictor(apply_fn, packed_apply=(pfn, pfac), **base)
+        masks = pp.predict_regions_packed(params, vol)
+        np.testing.assert_array_equal(masks, np.asarray(plain) > 0.5)
+    finally:
+        os.environ.pop("MTTPU_PACKED_CONV", None)
