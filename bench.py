@@ -229,7 +229,10 @@ def _measure(device, on_tpu: bool) -> dict:
     # with its compile-queue state.
     from multitalent_tpu.ops.sliding_window import (rle_fetch_begin,
                                                     rle_fetch_finish)
-    n_repeats = 3 if on_tpu else 1
+    # 5 repeats: the relay link's bandwidth fluctuates 4-45 MB/s between
+    # repeats (observed per_repeat spreads of 26-36 s for identical work);
+    # the median of 5 is a much stabler steady-state estimate than of 3
+    n_repeats = 5 if on_tpu else 1
     pending = None
     per_repeat = []
     # volume i+1's host->device put is issued right after dispatching volume

@@ -403,6 +403,14 @@ def _build_wgrad(n, z, y, x, c, cout, dtype_name, bz, by, bx,
             bytes_accessed=(n * (z + 2) * (y + 2) * (x + 16) * c * 2
                             + n * z * y * x * cout * 2),
             transcendentals=0),
+        # the VMEM-resident [27, C, Cout] fp32 accumulator breaks libtpu's
+        # default 16 MB scoped-vmem budget at the wide decoder stages (e.g.
+        # 27x640x384 = 26.5 MB -> "Ran out of memory in memory space vmem");
+        # v5e has 128 MB VMEM, grant headroom like _build_affine does.
+        # Shapes too big even for this are rejected in
+        # pallas_conv3d_same_wgrad (callers fall back to the XLA wgrad).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -423,6 +431,13 @@ def pallas_conv3d_same_wgrad(x, g, *, interpret: bool = False):
     bz, by, bx = blocks
     cp = -(-c // 128) * 128
     coutp = -(-cout // 128) * 128
+    # accumulator + double-buffered halo scratch + one g block must fit the
+    # (raised, see _build_wgrad) scoped-vmem budget
+    acc_bytes = 27 * cp * coutp * 4
+    scratch_bytes = (2 * (bz + 2) * (by + 2) * (bx + 16) * cp
+                     + bz * by * bx * coutp) * 2
+    if acc_bytes + scratch_bytes > 88 * 1024 * 1024:
+        raise ValueError("wgrad accumulator exceeds VMEM")
     xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (8, 8), (0, cp - c)))
     gp = jnp.pad(g, ((0, 0),) * 4 + ((0, coutp - cout),)) \
         if coutp != cout else g

@@ -520,6 +520,68 @@ def probe_put():
     print(f"fp32 put then burn: {time.time()-t0:6.2f} s", flush=True)
 
 
+def probe_profile():
+    """xprof trace of the current default packed forward (packed_output path,
+    b2 flagship): per-op-category device-time buckets."""
+    import glob
+    import shutil
+    import jax
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.packed_unet import (make_inference_apply_fn,
+                                                 make_packed_inference_apply_fn)
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_model
+
+    model = _flagship_model()
+    patch = (96, 192, 192)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, *patch, 1)))["params"]
+    pfn, pfac = make_packed_inference_apply_fn(model, patch)
+    fn = jax.jit(pfn if pfn is not None else make_inference_apply_fn(model))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, *patch, 1), jnp.float16)
+    for _ in range(2):
+        sync(fn(params, x))
+    tdir = "/tmp/xprof_fwd"
+    shutil.rmtree(tdir, ignore_errors=True)
+    jax.profiler.start_trace(tdir)
+    for _ in range(4):
+        out = fn(params, x)
+    sync(out)
+    jax.profiler.stop_trace()
+    paths = glob.glob(tdir + "/**/*.xplane.pb", recursive=True)
+    print("trace files:", paths, flush=True)
+    for p in paths:
+        summarize_xplane(p, iters=4)
+
+
+def summarize_xplane(path, iters=1, top=28):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(path, "rb").read())
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "Device" not in plane.name:
+            continue
+        ev_meta = plane.event_metadata
+        stat_meta = plane.stat_metadata
+        totals = {}
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "Ops" != line.name.strip():
+                continue
+            for ev in line.events:
+                md = ev_meta[ev.metadata_id]
+                name = md.display_name or md.name
+                totals[name] = totals.get(name, 0) + ev.duration_ps
+        if not totals:
+            continue
+        tot = sum(totals.values())
+        print(f"plane {plane.name}: device total "
+              f"{tot/1e12/iters*1e3:8.2f} ms/iter over {len(totals)} ops",
+              flush=True)
+        for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"  {ps/1e12/iters*1e3:8.3f} ms  {name[:90]}", flush=True)
+
+
+
 if __name__ == "__main__":
     from multitalent_tpu.configuration import enable_compilation_cache
     enable_compilation_cache()
