@@ -102,10 +102,17 @@ def _phase_tap_table(k: int, f: int) -> tuple[int, np.ndarray]:
     return kp, table
 
 
-def pack_conv_weights(w: jax.Array, factors=(F, F)) -> jax.Array:
+def pack_conv_weights(w: jax.Array, factors=(F, F),
+                      in_groups=None) -> jax.Array:
     """(kz, ky, kx, Cin, Cout) -> (kz, kyp, kxp, P*Cin, P*Cout) packed weight
     for a stride-1 SAME conv in packed (y,x) space (P = fy*fx). Phase-major
-    channel order matches space_to_depth_yx."""
+    channel order matches space_to_depth_yx.
+
+    in_groups=(g0, g1, ...) with sum == Cin: the input tensor is a PLAIN
+    channel concat of per-group phase-major blocks [P*g0 | P*g1 | ...] instead
+    of phase-major over the full Cin — the decoder's up+skip concat then needs
+    no 6-D phase-regrouping reshape (a ~3 ms full-tensor copy per b2 flagship
+    forward on v5e, xprof); the permutation moves into this (tiny) weight."""
     fy, fx = int(factors[0]), int(factors[1])
     kz, ky, kx, cin, cout = w.shape
     kyp, ty = _phase_tap_table(ky, fy)
@@ -120,21 +127,32 @@ def pack_conv_weights(w: jax.Array, factors=(F, F)) -> jax.Array:
                     wp = wp.at[:, oy, ox, py, px, :, qy, qx, :].set(
                         w[:, dy, dx, :, :])
     p = fy * fx
-    return wp.reshape(kz, kyp, kxp, p * cin, p * cout)
+    wp = wp.reshape(kz, kyp, kxp, p * cin, p * cout)
+    if in_groups is not None:
+        assert sum(in_groups) == cin, (in_groups, cin)
+        idx, base = [], 0
+        for g in in_groups:
+            for q in range(p):
+                idx.extend(range(q * cin + base, q * cin + base + g))
+            base += g
+        wp = wp[:, :, :, np.asarray(idx, np.int64), :]
+    return wp
 
 
 def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
-                  precision=None) -> jax.Array:
+                  precision=None, in_groups=None) -> jax.Array:
     """Stride-1 SAME conv on a packed tensor. `w` is canonical
     (kz, ky, kx, Cin, Cout); x_packed is (N, Z, Y', X', P*Cin).
     Equals space_to_depth(conv3d_same(depth_to_space(x), w)).
+    `in_groups`: x_packed is a plain concat of phase-major groups
+    (see pack_conv_weights).
 
     3x3x3 packed kernels route through the Pallas tap-GEMM conv when enabled
     (ops/pallas_conv.py: 118.7 vs 82.7 TFLOP/s on v5e at C=120); backward
     stays on XLA's conv via custom_vjp."""
     import os
     kz = w.shape[0]
-    wp = pack_conv_weights(w, factors)
+    wp = pack_conv_weights(w, factors, in_groups)
     kyp, kxp = wp.shape[1], wp.shape[2]
     # Tiny input channel counts (stage-0 block0: P*C_in = 4) waste the
     # 128-lane kernel 32x on its K dim; below the threshold XLA's own conv

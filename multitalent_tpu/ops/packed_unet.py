@@ -72,14 +72,14 @@ def _instance_norm_lrelu(x, scale, bias, negative_slope=1e-2, eps=1e-5):
 
 
 def _block(x, p, *, strides=(1, 1, 1), negative_slope, dtype,
-           factors=UNPACKED):
+           factors=UNPACKED, in_groups=None):
     """One ConvNormAct block (conv + bias -> InstanceNorm -> LeakyReLU)."""
     w, b = p["conv"]["kernel"], p["conv"]["bias"]
     ns, nb = p["norm"]["scale"], p["norm"]["bias"]
     if factors != UNPACKED:
         assert strides == (1, 1, 1)
         out = pc.packed_conv3d(x.astype(dtype), w.astype(dtype),
-                               factors=factors)
+                               factors=factors, in_groups=in_groups)
         out = out + jnp.tile(b.astype(dtype), pc.nphases(factors))
         return pc.packed_instance_norm(out, ns, nb, factors=factors,
                                        negative_slope=negative_slope)
@@ -203,15 +203,13 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
             x = pc.packed_conv_transpose3d(x.astype(dtype), wt.astype(dtype),
                                            z_stride=stride[0], factors=target)
             cur = target
-            # phase-grouped concat: [up, skip] within each phase
+            # PLAIN concat [P*c_up | P*c_skip]: the phase regrouping moves
+            # into the first decoder conv's packed weight (in_groups below) —
+            # a 6-D reshape here materialized a full-tensor copy (~3 ms per
+            # b2 flagship forward on v5e, xprof)
             ph = pc.nphases(target)
-            n_, z_, yp_, xp_ = x.shape[:4]
-            cu = x.shape[-1] // ph
-            cs = skip.shape[-1] // ph
-            x = jnp.concatenate(
-                [x.reshape(n_, z_, yp_, xp_, ph, cu),
-                 skip.astype(x.dtype).reshape(n_, z_, yp_, xp_, ph, cs)],
-                axis=-1).reshape(n_, z_, yp_, xp_, ph * (cu + cs))
+            groups = (x.shape[-1] // ph, skip.shape[-1] // ph)
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
         else:
             assert cur == UNPACKED
             x = lax.conv_transpose(
@@ -219,9 +217,12 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                 padding="VALID",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            groups = None
         for i in range(model.conv_per_stage):
             x = _block(x, params[f"dec{u}"][f"block{i}"], negative_slope=slope,
-                       dtype=dtype, factors=cur)
+                       dtype=dtype, factors=cur,
+                       in_groups=groups if (i == 0 and cur != UNPACKED)
+                       else None)
         # seg head
         if deep_supervision or u == num_pool - 1:
             hp = params[f"seg{u}"]
@@ -230,12 +231,17 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
             if cur != UNPACKED:
                 logits = None
                 if packed_output and not deep_supervision:
-                    # caller accumulates in packed space; no d2s at all
+                    # caller accumulates in packed space; no d2s at all.
+                    # Logits stay in the model dtype: the consumer
+                    # (sliding_window._chunk_contrib) casts to f32 inside its
+                    # sigmoid fusion — a standalone f32 convert here
+                    # materializes an extra full-size copy (~5.5 ms per b2
+                    # forward on v5e, xprof)
                     logits = pc.packed_pointwise_conv3d(
                         x.astype(dtype), hw.astype(dtype),
                         jnp.tile(hb.astype(dtype), pc.nphases(cur))
                         if hb is not None else None, factors=cur)
-                    return logits.astype(jnp.float32), cur
+                    return logits, cur
                 if not deep_supervision:
                     # inference: fused GEMM + depth-to-space kernel keeps the
                     # packed head result out of HBM (saves ~14 ms of layout
@@ -259,7 +265,7 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
             else:
                 logits = _conv_same(x, hw, hb, dtype=dtype)
                 if packed_output and not deep_supervision:
-                    return logits.astype(jnp.float32), UNPACKED
+                    return logits, UNPACKED
             seg_outputs.append(logits.astype(jnp.float32))
 
     if deep_supervision:
@@ -355,6 +361,15 @@ def packed_unet_forward_fused(model: GenericUNet, params, x, *,
             if raw_in.shape[-1] < int(
                     os.environ.get("MTTPU_PALLAS_MIN_CIN", "0")):
                 raise ValueError("cin below pallas threshold")
+            if os.environ.get("MTTPU_FUSED_STATS") == "xla":
+                # stats via an XLA reduce instead of the kernel epilogue:
+                # the reduce overlaps with downstream kernels rather than
+                # serializing into this one's block loop
+                out = pallas_conv3d_same_affine(
+                    raw_in.astype(dtype), w.astype(dtype), bias=b,
+                    in_scale=sc, in_shift=sh, negative_slope=slope,
+                    interpret=interpret, with_stats=False)
+                return out, pc.channel_stats(out)
             return pallas_conv3d_same_affine(
                 raw_in.astype(dtype), w.astype(dtype), bias=b,
                 in_scale=sc, in_shift=sh, negative_slope=slope,

@@ -447,9 +447,9 @@ def pallas_conv3d_same_wgrad(x, g, *, interpret: bool = False):
     return dw.reshape(3, 3, 3, cp, coutp)[:, :, :, :c, :cout]
 
 
-def _conv_affine_kernel(x_ref, w_ref, aff_ref, bias_ref, out_ref, stats_ref,
-                        xblk, sems, *, bz, by, bx, c, cout, zb, yb, xb,
-                        zdim, ydim, xdim, slope, has_affine):
+def _conv_affine_kernel(x_ref, w_ref, aff_ref, bias_ref, out_ref, *rest,
+                        bz, by, bx, c, cout, zb, yb, xb,
+                        zdim, ydim, xdim, slope, has_affine, with_stats=True):
     """Tap-GEMM conv with a fused normalize prologue and a stats epilogue.
 
     Prologue (has_affine): the fetched block holds the PREVIOUS conv's raw
@@ -459,9 +459,17 @@ def _conv_affine_kernel(x_ref, w_ref, aff_ref, bias_ref, out_ref, stats_ref,
     is zero, but lrelu(shift) is not). This removes one full HBM
     read+write of the activation per fused block (the XLA normalize pass).
 
-    Epilogue: per-sample per-channel sum and sum-of-squares of the written
-    (bias-added, bf16-rounded) output, accumulated across the sequential grid
-    into stats[n, 2, cout] — the NEXT norm then needs no reduction pass."""
+    Epilogue (with_stats): per-sample per-channel sum and sum-of-squares of
+    the written (bias-added, bf16-rounded) output, accumulated across the
+    sequential grid into stats[n, 2, cout] — the NEXT norm then needs no
+    reduction pass. with_stats=False skips the epilogue entirely (the caller
+    reduces in XLA, which overlaps it with downstream kernels instead of
+    serializing it into this one)."""
+    if with_stats:
+        stats_ref, xblk, sems = rest
+    else:
+        stats_ref = None
+        xblk, sems = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
@@ -528,20 +536,21 @@ def _conv_affine_kernel(x_ref, w_ref, aff_ref, bias_ref, out_ref, stats_ref,
         outb = (acc[:] + bias_ref[0]).astype(out_ref.dtype)
         out_ref[0] = outb.reshape(bz, by, bx, cout)
 
-        @pl.when((jax.lax.rem(i, zb) == 0) & (j == 0) & (k == 0))
-        def _():
-            stats_ref[...] = jnp.zeros_like(stats_ref)
+        if with_stats:
+            @pl.when((jax.lax.rem(i, zb) == 0) & (j == 0) & (k == 0))
+            def _():
+                stats_ref[...] = jnp.zeros_like(stats_ref)
 
-        of = outb.astype(jnp.float32)
-        stats_ref[0, 0, :] += jnp.sum(of, axis=0)
-        stats_ref[0, 1, :] += jnp.sum(of * of, axis=0)
+            of = outb.astype(jnp.float32)
+            stats_ref[0, 0, :] += jnp.sum(of, axis=0)
+            stats_ref[0, 1, :] += jnp.sum(of * of, axis=0)
 
     pl.run_scoped(body, pltpu.VMEM((bz * by * bx, cout), jnp.float32))
 
 
 @lru_cache(maxsize=64)
 def _build_affine(n, z, y, x, c, cout, dtype_name, bz, by, bx, slope,
-                  has_affine, interpret=False):
+                  has_affine, interpret=False, with_stats=True):
     dtype = jnp.dtype(dtype_name)
     zb = z // bz
     yb = y // by
@@ -549,8 +558,20 @@ def _build_affine(n, z, y, x, c, cout, dtype_name, bz, by, bx, slope,
     grid = (n * zb, yb, xb)
     kernel = partial(_conv_affine_kernel, bz=bz, by=by, bx=bx, c=c, cout=cout,
                      zb=zb, yb=yb, xb=xb, zdim=z, ydim=y, xdim=x, slope=slope,
-                     has_affine=has_affine)
+                     has_affine=has_affine, with_stats=with_stats)
     flops = 2 * 27 * c * cout * n * z * y * x
+
+    out_specs = [
+        pl.BlockSpec((1, bz, by, bx, cout),
+                     lambda i, j, k, zb=zb: (i // zb, i % zb, j, k, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((n, z, y, x, cout), dtype)]
+    if with_stats:
+        out_specs.append(pl.BlockSpec((1, 2, cout),
+                                      lambda i, j, k, zb=zb: (i // zb, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((n, 2, cout), jnp.float32))
 
     return pl.pallas_call(
         kernel,
@@ -562,16 +583,8 @@ def _build_affine(n, z, y, x, c, cout, dtype_name, bz, by, bx, slope,
                          lambda i, j, k, zb=zb: (i // zb, 0, 0)),  # scale/shift
             pl.BlockSpec((1, cout), lambda i, j, k: (0, 0)),    # bias
         ],
-        out_specs=[
-            pl.BlockSpec((1, bz, by, bx, cout),
-                         lambda i, j, k, zb=zb: (i // zb, i % zb, j, k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, cout),
-                         lambda i, j, k, zb=zb: (i // zb, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((n, z, y, x, cout), dtype),
-                   jax.ShapeDtypeStruct((n, 2, cout), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, bz + 2, by + 2, bx + 16, c), dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -594,7 +607,7 @@ def _build_affine(n, z, y, x, c, cout, dtype_name, bz, by, bx, slope,
 
 def pallas_conv3d_same_affine(x, w, *, bias=None, in_scale=None,
                               in_shift=None, negative_slope: float = 1e-2,
-                              interpret: bool = False):
+                              interpret: bool = False, with_stats: bool = True):
     """Stride-1 SAME 3x3x3 conv with fused pre-normalize and stats output.
 
     When in_scale/in_shift are given ((C,) shared or (N, C) per sample — the
@@ -638,7 +651,11 @@ def pallas_conv3d_same_affine(x, w, *, bias=None, in_scale=None,
     if bias is not None:
         bvec = bvec.at[0, :cout].set(bias.astype(jnp.float32))
     call = _build_affine(n, z, y, xdim, cp, coutp, str(x.dtype), bz, by, bx,
-                         float(negative_slope), has_affine, interpret)
+                         float(negative_slope), has_affine, interpret,
+                         with_stats)
+    if not with_stats:
+        (out,) = call(xpad, wp.astype(x.dtype), aff, bvec)
+        return out[..., :cout] if coutp != cout else out
     out, stats = call(xpad, wp.astype(x.dtype), aff, bvec)
     if coutp != cout:
         out = out[..., :cout]

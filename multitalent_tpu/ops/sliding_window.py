@@ -167,37 +167,49 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         v = jnp.where(bits[2], jnp.flip(jnp.flip(v, axis=2), axis=4), v)
         return v.reshape(x.shape)
 
-    def _accumulate(acc, cnt, params, padded_volume, z, y, x, weight, bits,
-                    vmask):
-        """One tile x one TTA chunk: batched flipped forward, gaussian-weighted
-        read-modify-write into the accumulators. `weight` zeros out padding
-        tiles; `vmask` zeros out padding combos within the chunk."""
-        tile = jax.lax.dynamic_slice(padded_volume, (z, y, x, 0),
-                                     (*patch, in_channels))
+    def _chunk_contrib(params, tile, bits, vmask):
+        """One TTA chunk of one tile: batched flipped forward -> probabilities
+        unflipped back to tile frame, masked (padding combos zeroed) and
+        summed over the chunk in fp32. No accumulator traffic here."""
         batch = jax.vmap(lambda b: flip_sel(tile, b))(bits)
-        logits = apply_fn(params, batch).astype(jnp.float32)
+        logits = apply_fn(params, batch)
         if nonlin == "softmax":
+            lf = logits.astype(jnp.float32)
             if nph > 1:  # per-phase class softmax in packed layout
-                shp = logits.shape
+                shp = lf.shape
                 probs = jax.nn.softmax(
-                    logits.reshape(shp[:-1] + (nph, num_classes)), axis=-1
+                    lf.reshape(shp[:-1] + (nph, num_classes)), axis=-1
                 ).reshape(shp)
             else:
-                probs = jax.nn.softmax(logits, axis=-1)
+                probs = jax.nn.softmax(lf, axis=-1)
         elif nonlin == "sigmoid":
-            probs = jax.nn.sigmoid(logits)
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         else:
-            probs = logits
-        # probabilities held in bf16 (fp32 in `exact` mode), statistics
-        # accumulated in fp32: halves the live prob buffers so a larger TTA
-        # batch fits (conv throughput scales strongly with batch on TPU);
-        # the reference's all_in_gpu mode makes the same precision trade
-        # with fp16 (neural_network.py:338-364)
+            probs = logits.astype(jnp.float32)
+        # probabilities held in bf16 (fp32 in `exact` mode): halves the live
+        # prob buffers so a larger TTA batch fits; the reference's all_in_gpu
+        # mode makes the same precision trade with fp16
+        # (neural_network.py:338-364)
         unflipped = jax.vmap(flip_sel_packed)(probs.astype(prob_dtype), bits)
         v = vmask.astype(prob_dtype).reshape(
             (vmask.shape[0],) + (1,) * (unflipped.ndim - 1))
-        mean_scaled = jnp.sum(unflipped * v, axis=0,
-                              dtype=jnp.float32) / len(combos)
+        return jnp.sum(unflipped * v, axis=0, dtype=jnp.float32)
+
+    def _accumulate_tile(acc, cnt, params, padded_volume, z, y, x, weight,
+                         bits_all, valid_all):
+        """One tile x ALL TTA chunks with a single read-modify-write into each
+        accumulator: the 8 flip contributions are summed tile-locally in fp32
+        first (also slightly more accurate than chunk-wise fp16 RMWs). The
+        per-(tile,chunk) RMW this replaces cost ~39 ms/tile of
+        dynamic_update_slice traffic on v5e (xprof, (256,320,320) volume).
+        `weight` zeros out padding tiles."""
+        tile = jax.lax.dynamic_slice(padded_volume, (z, y, x, 0),
+                                     (*patch, in_channels))
+        total = _chunk_contrib(params, tile, bits_all[0], valid_all[0])
+        for j in range(1, n_chunks):
+            total = total + _chunk_contrib(params, tile, bits_all[j],
+                                           valid_all[j])
+        mean_scaled = total / len(combos)
 
         # accumulators are stored fp16 (the reference's all_in_gpu mode does
         # the same, neural_network.py:338-364); the add itself runs in fp32
@@ -213,23 +225,26 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             acc, (cur.astype(jnp.float32) + contrib).astype(acc.dtype),
             (zp, yp, xp, 0))
         cur_c = jax.lax.dynamic_slice(cnt, (zp, yp, xp, 0), (*patch_p, nph))
-        new_c = (cur_c.astype(jnp.float32)
-                 + gauss * (weight / len(combos)) * jnp.sum(v))
+        new_c = cur_c.astype(jnp.float32) + gauss * weight
         cnt = jax.lax.dynamic_update_slice(cnt, new_c.astype(cnt.dtype),
                                            (zp, yp, xp, 0))
         return acc, cnt
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(acc, cnt, params, padded_volume, coords, bits, vmask, weights):
-        """Host-loop step: TILES_PER_STEP tiles x one TTA-chunk per dispatch
+    def step(acc, cnt, params, padded_volume, coords, weights):
+        """Host-loop step: TILES_PER_STEP tiles x full TTA per dispatch
         (used by the multi-device tile-sharding path, where dispatches must
         interleave across devices, and as the MTTPU_SW_DEVICE_LOOP=0
         fallback). Tiles run sequentially inside the program — same peak
-        memory as one tile."""
+        memory as one tile. The flip masks are tiny numpy constants baked
+        into the program (device-neutral: the multi-device tile sharding
+        runs this same program per device)."""
+        bits_all, valid_all = bits_list, valid_list
         for t in range(coords.shape[0]):
-            acc, cnt = _accumulate(acc, cnt, params, padded_volume,
-                                   coords[t, 0], coords[t, 1], coords[t, 2],
-                                   weights[t], bits, vmask)
+            acc, cnt = _accumulate_tile(acc, cnt, params, padded_volume,
+                                        coords[t, 0], coords[t, 1],
+                                        coords[t, 2], weights[t],
+                                        bits_all, valid_all)
         return acc, cnt
 
     _loop_fns: dict = {}
@@ -242,8 +257,7 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         dispatches. Trip count is bucketed (multiples of 8) so a handful of
         compilations serve all volumes of one padded shape."""
         if n_padded not in _loop_fns:
-            bits_all = [jnp.asarray(b) for b in bits_list]
-            valid_all = [jnp.asarray(v) for v in valid_list]
+            bits_all, valid_all = bits_list, valid_list
 
             @partial(jax.jit, donate_argnums=(0, 1))
             def run_loop(acc, cnt, params, padded_volume, coords_pad,
@@ -252,11 +266,9 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
                     acc, cnt = carry
                     z, y, x = (coords_pad[i, 0], coords_pad[i, 1],
                                coords_pad[i, 2])
-                    for j in range(n_chunks):
-                        acc, cnt = _accumulate(acc, cnt, params, padded_volume,
-                                               z, y, x, weights_pad[i],
-                                               bits_all[j], valid_all[j])
-                    return acc, cnt
+                    return _accumulate_tile(acc, cnt, params, padded_volume,
+                                            z, y, x, weights_pad[i],
+                                            bits_all, valid_all)
 
                 return jax.lax.fori_loop(0, n_padded, body, (acc, cnt))
 
@@ -353,9 +365,7 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
                 np.ascontiguousarray(coords_pad), weights_pad)
         else:
             for cg, wg in _tile_groups(coords_host):
-                for j in range(n_chunks):
-                    acc, cnt = step(acc, cnt, params, padded_volume, cg,
-                                    bits_list[j], valid_list[j], wg)
+                acc, cnt = step(acc, cnt, params, padded_volume, cg, wg)
         if pack_threshold is not None:
             return finalize_packed(acc, cnt, np.float32(pack_threshold))
         return finalize(acc, cnt)
@@ -378,9 +388,8 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         n_dev = len(devices)
         for i, (cg, wg) in enumerate(_tile_groups(coords_host)):
             d = i % n_dev
-            for j in range(n_chunks):
-                accs[d], cnts[d] = step(accs[d], cnts[d], params_d[d], vols[d],
-                                        cg, bits_list[j], valid_list[j], wg)
+            accs[d], cnts[d] = step(accs[d], cnts[d], params_d[d], vols[d],
+                                    cg, wg)
         acc = accs[0].astype(jnp.float32)
         cnt = cnts[0].astype(jnp.float32)
         for d in range(1, n_dev):

@@ -554,7 +554,69 @@ def probe_profile():
         summarize_xplane(p, iters=4)
 
 
+def probe_volume():
+    """Steady-state sliding-window s/volume (bench._measure, pipelined puts +
+    RLE fetch) — the quick hardware A/B for engine changes."""
+    import jax
+    sys.path.insert(0, "/root/repo")
+    import bench as benchmod
+    res = benchmod._measure(jax.devices()[0], True)
+    print({k: res[k] for k in ("volumes_per_min", "per_repeat_s", "best_s")},
+          flush=True)
+
+
+def probe_swprofile():
+    """xprof trace of ONE full sliding-window volume via the devloop program
+    (the bench-critical path): true per-op device-time buckets including the
+    flip/accumulate machinery around the forward."""
+    import glob
+    import shutil
+    import jax
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.packed_unet import (make_inference_apply_fn,
+                                                 make_packed_inference_apply_fn)
+    from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_model
+    import bench as benchmod
+
+    model = _flagship_model()
+    patch = (96, 192, 192)
+    volume_shape = (256, 320, 320)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, *patch, 1)))["params"]
+    apply_fn = make_inference_apply_fn(model)
+    pfn, pfac = make_packed_inference_apply_fn(model, patch)
+    predictor = SlidingWindowPredictor(
+        apply_fn, patch, in_channels=1, num_classes=47, nonlin="sigmoid",
+        step_size=0.5, do_mirroring=True, mirror_axes=(0, 1, 2),
+        use_gaussian=True, device=jax.devices()[0],
+        packed_apply=(pfn, pfac) if pfn is not None else None)
+    vol = benchmod._phantom_volume(volume_shape)
+    t0 = time.time()
+    packed_dev, _ = predictor.predict_to_device(params, vol,
+                                                pack_threshold=0.5)
+    jax.block_until_ready(packed_dev)
+    print(f"warmup volume: {time.time()-t0:.1f} s", flush=True)
+    tdir = "/tmp/xprof_sw"
+    shutil.rmtree(tdir, ignore_errors=True)
+    jax.profiler.start_trace(tdir)
+    t0 = time.time()
+    packed_dev, _ = predictor.predict_to_device(params, vol,
+                                                pack_threshold=0.5)
+    jax.block_until_ready(packed_dev)
+    wall = time.time() - t0
+    jax.profiler.stop_trace()
+    print(f"traced volume: {wall:.1f} s", flush=True)
+    for p in glob.glob(tdir + "/**/*.xplane.pb", recursive=True):
+        summarize_xplane(p, iters=1)
+
+
 def summarize_xplane(path, iters=1, top=28):
+    """Per-line busy-time union + per-base-name buckets of the sync XLA Ops
+    line (async lines overlap compute; reported separately)."""
+    import collections
+    import re as _re
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
     xs = xplane_pb2.XSpace()
     xs.ParseFromString(open(path, "rb").read())
@@ -562,23 +624,35 @@ def summarize_xplane(path, iters=1, top=28):
         if "TPU" not in plane.name and "Device" not in plane.name:
             continue
         ev_meta = plane.event_metadata
-        stat_meta = plane.stat_metadata
-        totals = {}
         for line in plane.lines:
-            if "XLA Ops" not in line.name and "Ops" != line.name.strip():
+            iv = sorted((ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                        for ev in line.events)
+            if not iv:
                 continue
+            busy, (cs, ce) = 0, iv[0]
+            for s, e in iv[1:]:
+                if s > ce:
+                    busy += ce - cs
+                    cs, ce = s, e
+                else:
+                    ce = max(ce, e)
+            busy += ce - cs
+            print(f"{plane.name} line {line.name!r}: {len(line.events)} events,"
+                  f" busy {busy/1e12/iters*1e3:.2f} ms/iter", flush=True)
+            if line.name != "XLA Ops":
+                continue
+            tot = collections.Counter()
+            cnt = collections.Counter()
             for ev in line.events:
                 md = ev_meta[ev.metadata_id]
-                name = md.display_name or md.name
-                totals[name] = totals.get(name, 0) + ev.duration_ps
-        if not totals:
-            continue
-        tot = sum(totals.values())
-        print(f"plane {plane.name}: device total "
-              f"{tot/1e12/iters*1e3:8.2f} ms/iter over {len(totals)} ops",
-              flush=True)
-        for name, ps in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
-            print(f"  {ps/1e12/iters*1e3:8.3f} ms  {name[:90]}", flush=True)
+                base = _re.sub(r"[.\\d]+$", "",
+                               md.display_name or md.name)
+                tot[base] += ev.duration_ps
+                cnt[base] += 1
+            T = sum(tot.values())
+            for k, v in tot.most_common(top):
+                print(f"  {v/1e12/iters*1e3:9.3f} ms {100*v/T:5.1f}% "
+                      f"x{cnt[k]:5d}  {k}", flush=True)
 
 
 

@@ -208,6 +208,12 @@ def test_pallas_conv_affine_prologue_and_stats_interpret():
         np.testing.assert_allclose(
             np.asarray(stats2)[:, 0],
             np.asarray(ref2, np.float64).sum(axis=(1, 2, 3)), rtol=1e-4)
+        # with_stats=False: single output, epilogue skipped (caller reduces
+        # in XLA — the MTTPU_FUSED_STATS=xla schedule)
+        out3 = pallas_conv3d_same_affine(x, w, bias=b, in_scale=s, in_shift=t,
+                                         interpret=True, with_stats=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out3),
+                                   atol=0, rtol=0)
 
 
 def test_fused_inference_forward_matches_packed_forward():
