@@ -295,7 +295,18 @@ def make_packed_inference_apply_fn(model, patch_size):
     if factors == UNPACKED:
         return None, UNPACKED
 
+    fuse = os.environ.get("MTTPU_FUSED_NORM") == "1"
+
     def apply_fn(params, batch):
+        if fuse:
+            try:
+                out, f = packed_unet_forward_fused(model, params, batch,
+                                                   pack_max_channels=pmc,
+                                                   packed_output=True)
+                assert f == factors, (f, factors)
+                return out
+            except ValueError:
+                pass  # shape outside the kernels' block grid
         out, f = packed_unet_forward(model, params, batch,
                                      deep_supervision=False,
                                      pack_max_channels=pmc,
@@ -310,7 +321,8 @@ def packed_unet_forward_fused(model: GenericUNet, params, x, *,
                               pack_max_channels: int = 128,
                               deep_supervision: bool = False,
                               differentiable: bool = False,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              packed_output: bool = False):
     """Forward equal to packed_unet_forward with the
     conv->InstanceNorm->LeakyReLU chains fused into the Pallas conv kernel
     (pallas_conv3d_same_affine): each stride-1 conv consumes the previous
@@ -500,6 +512,19 @@ def packed_unet_forward_fused(model: GenericUNet, params, x, *,
     hp = params[f"seg{num_pool - 1}"]
     hw = hp["kernel"]
     hb = hp.get("bias") if model.seg_output_bias else None
+    if packed_output:
+        # packed-space accumulation caller (sliding-window engine): no d2s;
+        # the final normalize materializes (as in the unfused schedule) and
+        # the head stays a packed pointwise conv in the model dtype
+        x_mat = materialize(raw, stats, prev_bp, cur)
+        if cur != UNPACKED:
+            logits = pc.packed_pointwise_conv3d(
+                x_mat.astype(dtype), hw.astype(dtype),
+                jnp.tile(hb.astype(dtype), pc.nphases(cur))
+                if hb is not None else None, factors=cur)
+        else:
+            logits = _conv_same(x_mat, hw, hb, dtype=dtype)
+        return logits, cur
     if cur != UNPACKED:
         nvox = int(np.prod(raw.shape[1:-1]))
         sc, sh = affine_of(stats, prev_bp, cur, nvox)
@@ -545,10 +570,11 @@ def make_inference_apply_fn(model):
     if packable:
         pmc = int(os.environ.get("MTTPU_PACK_MAX_CHANNELS", "128"))
         # conv+norm chain fusion is OPT-IN: on v5e hardware the fused chain
-        # measured 43.0 s/volume steady-state vs 29.3 s for the plain packed
-        # schedule (round-2 bisect) — the RAW-output stats chain defeats XLA's
-        # own conv/elementwise fusion and adds VMEM pressure that serializes
-        # the tap-GEMM double-buffering.
+        # LOSES end-to-end — interleaved A/B on the (256,320,320) 8x-TTA
+        # volume: plain 24.2 s vs fused 26.9 s (kernel stats) / 27.2 s (XLA
+        # stats, MTTPU_FUSED_STATS=xla). Both stats schedules lose, so it is
+        # the prologue/RAW chain itself (not just the stats epilogue) that
+        # defeats XLA's conv/elementwise overlap.
         fuse = os.environ.get("MTTPU_FUSED_NORM") == "1"
 
         def apply_fn(params, batch):

@@ -565,6 +565,132 @@ def probe_volume():
           flush=True)
 
 
+def probe_trainprofile():
+    """xprof trace of the dummyLoad train step (bench._measure_train protocol:
+    Liver 3d_fullres 128^3 bs2): per-op device-time buckets of fwd+bwd+update."""
+    import glob
+    import shutil
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from multitalent_tpu.models.generic_unet import GenericUNet
+    from multitalent_tpu.ops.packed_unet import make_train_forward_fn
+    from multitalent_tpu.training.losses import (dc_and_ce_loss,
+                                                 deep_supervision_loss,
+                                                 ds_loss_weights)
+    from multitalent_tpu.training.schedules import make_poly_schedule
+    from multitalent_tpu.training.train_state import (TrainState,
+                                                      make_sgd_optimizer)
+
+    patch = (128, 128, 128)
+    pools = ((2, 2, 2),) * 5
+    model = GenericUNet(input_channels=1, base_num_features=32, num_classes=3,
+                        pool_op_kernel_sizes=pools,
+                        conv_kernel_sizes=((3, 3, 3),) * 6,
+                        deep_supervision=True, dtype=jnp.bfloat16)
+    weights = [float(w) for w in ds_loss_weights(len(pools), mask_lowest=True)]
+    forward = make_train_forward_fn(model)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, *patch, 1)))["params"]
+    tx = make_sgd_optimizer(make_poly_schedule(1e-2, 1000, 250))
+    state = TrainState.create(model.apply, params, tx)
+
+    def train_core(state, data, targets):
+        def compute(p):
+            outputs = forward(p, data, deterministic=False)
+            return deep_supervision_loss(
+                outputs, targets, partial(dc_and_ce_loss, batch_dice=False),
+                weights)
+        loss, grads = jax.value_and_grad(compute)(state.params)
+        return state.apply_gradients(grads), loss
+
+    step = jax.jit(train_core, donate_argnums=(0,))
+    host = np.random.RandomState(0)
+    data = jnp.asarray(host.randn(2, *patch, 1), jnp.float32)
+    targets = [jnp.asarray(
+        host.randint(0, 3, (2, 1) + tuple(int(p) // 2 ** d for p in patch)),
+        jnp.float32) for d in range(len(weights))]
+    # match the bench's target layout
+    from multitalent_tpu.augment.pipeline import ds_scales_from_pools
+    del targets
+    import bench as benchmod
+    sys.path.insert(0, "/root/repo")
+    from multitalent_tpu.augment.params import default_3D_augmentation_params
+    from multitalent_tpu.augment.pipeline import make_augment_fn
+    ds_scales = ds_scales_from_pools(pools)
+    augment = make_augment_fn(patch, ds_scales,
+                              dict(default_3D_augmentation_params), 1)
+    dat = jnp.asarray(host.randn(2, 1, *patch), jnp.float32)
+    seg = jnp.asarray(host.randint(0, 3, (2, 1, *patch)), jnp.float32)
+    data_a, targets_a = jax.jit(augment)(jax.random.PRNGKey(1), dat, seg)
+    for _ in range(2):
+        state, loss = step(state, data_a, targets_a)
+    sync(loss)
+    tdir = "/tmp/xprof_train"
+    shutil.rmtree(tdir, ignore_errors=True)
+    jax.profiler.start_trace(tdir)
+    for _ in range(4):
+        state, loss = step(state, data_a, targets_a)
+    sync(loss)
+    jax.profiler.stop_trace()
+    for p in glob.glob(tdir + "/**/*.xplane.pb", recursive=True):
+        summarize_xplane(p, iters=4)
+
+
+def probe_ab():
+    """Interleaved A/B/C of engine schedules (controls for relay drift):
+    A = plain packed, B = fused chain + kernel stats, C = fused + XLA stats.
+    Round-robin single volumes, 3 rounds."""
+    import jax
+    from multitalent_tpu.ops.packed_unet import (make_inference_apply_fn,
+                                                 make_packed_inference_apply_fn)
+    from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_model
+    import bench as benchmod
+    import jax.numpy as jnp
+
+    model = _flagship_model()
+    patch = (96, 192, 192)
+    volume_shape = (256, 320, 320)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, *patch, 1)))["params"]
+    vol = benchmod._phantom_volume(volume_shape)
+    variants = [("plain", {"MTTPU_FUSED_NORM": "0"}),
+                ("fused-kstats", {"MTTPU_FUSED_NORM": "1",
+                                  "MTTPU_FUSED_STATS": "kernel"}),
+                ("fused-xstats", {"MTTPU_FUSED_NORM": "1",
+                                  "MTTPU_FUSED_STATS": "xla"})]
+    preds = {}
+    for name, env in variants:
+        os.environ.update(env)
+        apply_fn = make_inference_apply_fn(model)
+        pfn, pfac = make_packed_inference_apply_fn(model, patch)
+        preds[name] = SlidingWindowPredictor(
+            apply_fn, patch, in_channels=1, num_classes=47, nonlin="sigmoid",
+            step_size=0.5, do_mirroring=True, mirror_axes=(0, 1, 2),
+            use_gaussian=True, device=jax.devices()[0],
+            packed_apply=(pfn, pfac) if pfn is not None else None)
+        t0 = time.time()
+        out, _ = preds[name].predict_to_device(params, vol, pack_threshold=0.5)
+        jax.block_until_ready(out)
+        print(f"warmup {name}: {time.time()-t0:.1f} s", flush=True)
+    times = {name: [] for name, _ in variants}
+    for r in range(3):
+        for name, _ in variants:
+            pred = preds[name]
+            put = pred.begin_put(vol)
+            t0 = time.time()
+            out, _ = pred.predict_to_device(params, preput=put,
+                                            pack_threshold=0.5)
+            jax.block_until_ready(out)
+            times[name].append(time.time() - t0)
+            print(f"round {r} {name}: {times[name][-1]:.2f} s", flush=True)
+    for name, ts in times.items():
+        print(f"{name}: best {min(ts):.2f} median {sorted(ts)[len(ts)//2]:.2f}",
+              flush=True)
+
+
 def probe_swprofile():
     """xprof trace of ONE full sliding-window volume via the devloop program
     (the bench-critical path): true per-op device-time buckets including the

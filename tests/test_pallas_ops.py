@@ -239,6 +239,32 @@ def test_fused_inference_forward_matches_packed_forward():
                                rtol=1e-2)
 
 
+def test_fused_packed_output_matches_unfused(monkeypatch):
+    """Fused forward with packed_output=True (the sliding-window engine path)
+    vs the unfused packed_output forward, under both stats schedules."""
+    import jax.numpy as jnp
+    from multitalent_tpu.models.generic_unet import GenericUNet
+    from multitalent_tpu.ops.packed_unet import (packed_unet_forward,
+                                                 packed_unet_forward_fused)
+    model = GenericUNet(input_channels=1, base_num_features=8, num_classes=5,
+                        pool_op_kernel_sizes=((2, 2, 2), (2, 2, 2)),
+                        conv_kernel_sizes=((3, 3, 3),) * 3,
+                        deep_supervision=False, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(21).randn(2, 8, 16, 16, 1),
+                    jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref, f1 = packed_unet_forward(model, params, x, packed_output=True,
+                                  pack_max_channels=64)
+    for stats in ("kernel", "xla"):
+        monkeypatch.setenv("MTTPU_FUSED_STATS", stats)
+        got, f2 = packed_unet_forward_fused(model, params, x,
+                                            pack_max_channels=64,
+                                            packed_output=True, interpret=True)
+        assert f1 == f2 and got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_fused_train_forward_values_and_grads_match_packed():
     """Differentiable fused forward (deep supervision) vs the unfused packed
     forward: values AND parameter gradients of a DS loss must agree."""
