@@ -139,39 +139,47 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
     prob_dtype = jnp.float32 if exact else jnp.bfloat16
     chunk = max(1, min(int(tta_chunk), len(combos)))
     n_chunks = (len(combos) + chunk - 1) // chunk
-    # (n_chunks, chunk, 3) flip masks; the identity combo pads the last chunk with
-    # weight 0. Flips are DATA (jnp.where-selected jnp.flip), so one compiled
-    # program serves every chunk.
-    flip_masks = np.zeros((n_chunks, chunk, 3), np.bool_)
-    valid = np.zeros((n_chunks, chunk), np.float32)
-    for idx, c in enumerate(combos):
-        flip_masks[idx // chunk, idx % chunk, list(c)] = True
-        valid[idx // chunk, idx % chunk] = 1.0
+    # Per-chunk combo tuples; the tail chunk may be short (the batched forward
+    # pads it with identity copies whose contributions are simply not summed).
+    # Flips are STATIC (compile-time lax.rev, one per combo): with the combos
+    # known at trace time XLA fuses the reversal indexing into the adjacent
+    # copy/multiply, where a data-dependent jnp.where(bits, flip(x), x) costs
+    # a full-tensor materialization of both branches plus a select per axis —
+    # measured ~6 ms/sample of select traffic on the (96,96,96,188) bf16
+    # probability tensors of the flagship patch (v5e xprof).
+    chunk_combos_list = tuple(tuple(combos[i * chunk:(i + 1) * chunk])
+                              for i in range(n_chunks))
 
-    def flip_sel(x, bits):
-        # x (*spatial, C); bits (3,) bool — flip each spatial axis where set
-        for ax in range(3):
-            x = jnp.where(bits[ax], jnp.flip(x, axis=ax), x)
-        return x
+    def flip_static(x, combo):
+        # x (*spatial, C); combo: the subset of spatial axes to flip
+        return jnp.flip(x, axis=list(combo)) if combo else x
 
-    def flip_sel_packed(x, bits):
+    def flip_static_packed(x, combo):
         """Unflip in packed space: x (Z, Y/fy, X/fx, P*K). A full-res flip of
         an even-length packed axis (y = fy*b + p -> Y-1-y = fy*(Yb-1-b) +
         (fy-1-p)) is a flip of the block axis plus a reversal of that axis's
         phases."""
         if nph == 1:
-            return flip_sel(x, bits)
+            return flip_static(x, combo)
+        if not combo:
+            return x
         v = x.reshape(x.shape[:3] + (fy, fx, num_classes))
-        v = jnp.where(bits[0], jnp.flip(v, axis=0), v)
-        v = jnp.where(bits[1], jnp.flip(jnp.flip(v, axis=1), axis=3), v)
-        v = jnp.where(bits[2], jnp.flip(jnp.flip(v, axis=2), axis=4), v)
-        return v.reshape(x.shape)
+        axes = []
+        if 0 in combo:
+            axes.append(0)
+        if 1 in combo:
+            axes.extend((1, 3))
+        if 2 in combo:
+            axes.extend((2, 4))
+        return jnp.flip(v, axis=axes).reshape(x.shape)
 
-    def _chunk_contrib(params, tile, bits, vmask):
+    def _chunk_contrib(params, tile, chunk_combos):
         """One TTA chunk of one tile: batched flipped forward -> probabilities
-        unflipped back to tile frame, masked (padding combos zeroed) and
-        summed over the chunk in fp32. No accumulator traffic here."""
-        batch = jax.vmap(lambda b: flip_sel(tile, b))(bits)
+        unflipped back to tile frame and summed over the chunk in fp32. No
+        accumulator traffic here."""
+        pad = chunk - len(chunk_combos)
+        batch = jnp.stack([flip_static(tile, c) for c in chunk_combos]
+                          + [tile] * pad)
         logits = apply_fn(params, batch)
         if nonlin == "softmax":
             lf = logits.astype(jnp.float32)
@@ -190,13 +198,14 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         # prob buffers so a larger TTA batch fits; the reference's all_in_gpu
         # mode makes the same precision trade with fp16
         # (neural_network.py:338-364)
-        unflipped = jax.vmap(flip_sel_packed)(probs.astype(prob_dtype), bits)
-        v = vmask.astype(prob_dtype).reshape(
-            (vmask.shape[0],) + (1,) * (unflipped.ndim - 1))
-        return jnp.sum(unflipped * v, axis=0, dtype=jnp.float32)
+        probs = probs.astype(prob_dtype)
+        total = None
+        for j, c in enumerate(chunk_combos):
+            u = flip_static_packed(probs[j], c).astype(jnp.float32)
+            total = u if total is None else total + u
+        return total
 
-    def _accumulate_tile(acc, cnt, params, padded_volume, z, y, x, weight,
-                         bits_all, valid_all):
+    def _accumulate_tile(acc, cnt, params, padded_volume, z, y, x, weight):
         """One tile x ALL TTA chunks with a single read-modify-write into each
         accumulator: the 8 flip contributions are summed tile-locally in fp32
         first (also slightly more accurate than chunk-wise fp16 RMWs). The
@@ -205,10 +214,10 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         `weight` zeros out padding tiles."""
         tile = jax.lax.dynamic_slice(padded_volume, (z, y, x, 0),
                                      (*patch, in_channels))
-        total = _chunk_contrib(params, tile, bits_all[0], valid_all[0])
+        total = _chunk_contrib(params, tile, chunk_combos_list[0])
         for j in range(1, n_chunks):
-            total = total + _chunk_contrib(params, tile, bits_all[j],
-                                           valid_all[j])
+            total = total + _chunk_contrib(params, tile,
+                                           chunk_combos_list[j])
         mean_scaled = total / len(combos)
 
         # accumulators are stored fp16 (the reference's all_in_gpu mode does
@@ -236,15 +245,13 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         (used by the multi-device tile-sharding path, where dispatches must
         interleave across devices, and as the MTTPU_SW_DEVICE_LOOP=0
         fallback). Tiles run sequentially inside the program — same peak
-        memory as one tile. The flip masks are tiny numpy constants baked
+        memory as one tile. The flip combos are compile-time constants baked
         into the program (device-neutral: the multi-device tile sharding
         runs this same program per device)."""
-        bits_all, valid_all = bits_list, valid_list
         for t in range(coords.shape[0]):
             acc, cnt = _accumulate_tile(acc, cnt, params, padded_volume,
                                         coords[t, 0], coords[t, 1],
-                                        coords[t, 2], weights[t],
-                                        bits_all, valid_all)
+                                        coords[t, 2], weights[t])
         return acc, cnt
 
     _loop_fns: dict = {}
@@ -257,7 +264,6 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         dispatches. Trip count is bucketed (multiples of 8) so a handful of
         compilations serve all volumes of one padded shape."""
         if n_padded not in _loop_fns:
-            bits_all, valid_all = bits_list, valid_list
 
             @partial(jax.jit, donate_argnums=(0, 1))
             def run_loop(acc, cnt, params, padded_volume, coords_pad,
@@ -267,8 +273,7 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
                     z, y, x = (coords_pad[i, 0], coords_pad[i, 1],
                                coords_pad[i, 2])
                     return _accumulate_tile(acc, cnt, params, padded_volume,
-                                            z, y, x, weights_pad[i],
-                                            bits_all, valid_all)
+                                            z, y, x, weights_pad[i])
 
                 return jax.lax.fori_loop(0, n_padded, body, (acc, cnt))
 
@@ -316,11 +321,6 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         out = _blend(acc, cnt)
         return out if exact else out.astype(jnp.float16)
 
-    # per-chunk flip masks as host arrays: avoids eager device indexing ops (each
-    # distinct eager op is its own compiled executable — expensive on remote-
-    # compile backends)
-    bits_list = [np.ascontiguousarray(flip_masks[j]) for j in range(n_chunks)]
-    valid_list = [np.ascontiguousarray(valid[j]) for j in range(n_chunks)]
     TILES_PER_STEP = 2
 
     def _tile_groups(coords_host: np.ndarray):
