@@ -224,8 +224,10 @@ def import_reference_model_folder(model_folder: str, trainer_name: str,
     import numpy as np
     from flax import serialization
 
-    from multitalent_tpu.io.torch_convert import (convert_generic_unet_state_dict,
-                                                  load_reference_checkpoint)
+    from multitalent_tpu.io.torch_convert import (convert_fabians_unet_state_dict,
+                                                  convert_generic_unet_state_dict,
+                                                  load_reference_checkpoint,
+                                                  strip_module_prefix)
     from multitalent_tpu.plans import load_plans
     from multitalent_tpu.registry import resolve_trainer
 
@@ -249,9 +251,17 @@ def import_reference_model_folder(model_folder: str, trainer_name: str,
             trainer.initialize(training=False)
             st = plans.stage(trainer.stage)
             num_pool = len(st.pool_op_kernel_sizes)
-            converted = convert_generic_unet_state_dict(
-                state_dict, num_pool=num_pool,
-                conv_per_stage=plans.conv_per_stage)
+            if "encoder.initial_conv.weight" in strip_module_prefix(state_dict):
+                # FabiansUNet (resenc) checkpoint: block counts come from the
+                # resenc plans (MultiTalent_meets_resenc.py:72-104)
+                converted = convert_fabians_unet_state_dict(
+                    state_dict, num_stages=len(st.pool_op_kernel_sizes),
+                    num_blocks_encoder=st.num_blocks_encoder,
+                    num_blocks_decoder=st.num_blocks_decoder)
+            else:
+                converted = convert_generic_unet_state_dict(
+                    state_dict, num_pool=num_pool,
+                    conv_per_stage=plans.conv_per_stage)
             # sanity: shapes must match the freshly-initialized tree
             ref_flat = jax.tree_util.tree_flatten_with_path(trainer.state.params)[0]
             conv_flat = dict(jax.tree_util.tree_flatten_with_path(converted)[0])

@@ -95,6 +95,102 @@ def convert_generic_unet_state_dict(state_dict: dict, num_pool: int,
     return params
 
 
+def _as_numpy_state_dict(state_dict: dict) -> dict:
+    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v, dtype=np.float32)
+            for k, v in strip_module_prefix(state_dict).items()}
+
+
+def convert_fabians_unet_state_dict(state_dict: dict, num_stages: int,
+                                    num_blocks_encoder,
+                                    num_blocks_decoder) -> dict:
+    """Torch FabiansUNet state_dict -> nested flax param dict matching
+    models/residual_unet.ResidualEncoderUNet.
+
+    Reference structure (generic_modular_residual_UNet.py:28-140,320-373;
+    conv_blocks.py:116-230,330-357; generic_modular_UNet.py:185-256):
+
+      encoder.initial_conv / initial_norm          -> initial_conv / initial_norm
+      encoder.stages.{s}.convs.{b}.conv1/norm1/
+        conv2/norm2                                -> enc{s}/block{b}/...
+      encoder.stages.{s}.convs.{b}.downsample_skip.
+        {0: 1x1 conv (no bias), 1: norm}           -> enc{s}/block{b}/skip_conv
+                                                      / skip_norm
+      decoder.tus.{i}                              -> up{i}
+      decoder.stages.{i}.convs.{b}.conv/norm       -> dec{i}_block{b}/conv/norm
+      decoder.deep_supervision_outputs.{i}         -> seg{i}
+
+    Quirks honored:
+    - all resenc convs are bias-free (get_default_network_config's
+      conv_op_kwargs bias=False, generic_modular_UNet.py:67) while the flax
+      modules carry bias params -> biases are zero-filled (identical output);
+    - older checkpoints name the final head `decoder.segmentation_output`
+      instead of `deep_supervision_outputs.{last}`; the reference patches this
+      at load (nnUNetTrainerV2_DDP.py:650-661) and so does this converter;
+    - ConvDropoutNormReLU registers its submodules twice (as attributes and
+      inside the `all` Sequential, conv_blocks.py:149-182) so the state dict
+      also carries `...all.{0,2}.*` duplicates — read by canonical name only.
+    """
+    sd = _as_numpy_state_dict(state_dict)
+    num_dec = num_stages - 1
+    last = f"decoder.deep_supervision_outputs.{num_dec - 1}"
+    for suffix in ("weight", "bias"):
+        quirk = f"decoder.segmentation_output.{suffix}"
+        if quirk in sd and f"{last}.{suffix}" not in sd:
+            sd[f"{last}.{suffix}"] = sd.pop(quirk)
+
+    params: dict = {}
+
+    def put(path, leaf_name, value):
+        node = params
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf_name] = value
+
+    def conv(path, prefix, transp=False, bias="zero"):
+        w = sd[f"{prefix}.weight"]
+        put(path, "kernel",
+            _transpconv_weight(w) if transp else _conv_weight(w))
+        if bias == "zero":
+            put(path, "bias", np.zeros(path_out_features(w, transp),
+                                       np.float32))
+        elif bias == "load":
+            put(path, "bias", sd[f"{prefix}.bias"])
+
+    def path_out_features(w, transp):
+        return w.shape[1] if transp else w.shape[0]
+
+    def norm(path, prefix):
+        put(path, "scale", sd[f"{prefix}.weight"])
+        put(path, "bias", sd[f"{prefix}.bias"])
+
+    conv(["initial_conv"], "encoder.initial_conv")
+    norm(["initial_norm"], "encoder.initial_norm")
+    for s in range(num_stages):
+        for b in range(int(num_blocks_encoder[s])):
+            tp = f"encoder.stages.{s}.convs.{b}"
+            fp = [f"enc{s}", f"block{b}"]
+            conv(fp + ["conv1"], f"{tp}.conv1")
+            norm(fp + ["norm1"], f"{tp}.norm1")
+            conv(fp + ["conv2"], f"{tp}.conv2")
+            norm(fp + ["norm2"], f"{tp}.norm2")
+            if f"{tp}.downsample_skip.0.weight" in sd:
+                w = sd[f"{tp}.downsample_skip.0.weight"]
+                put(fp + ["skip_conv"], "kernel", _conv_weight(w))
+                norm(fp + ["skip_norm"], f"{tp}.downsample_skip.1")
+    for i in range(num_dec):
+        put([f"up{i}"], "kernel",
+            _transpconv_weight(sd[f"decoder.tus.{i}.weight"]))
+        for b in range(int(num_blocks_decoder[i])):
+            tp = f"decoder.stages.{i}.convs.{b}"
+            fp = [f"dec{i}_block{b}"]
+            conv(fp + ["conv"], f"{tp}.conv")
+            norm(fp + ["norm"], f"{tp}.norm")
+        conv([f"seg{i}"], f"decoder.deep_supervision_outputs.{i}",
+             bias="load")
+    return params
+
+
 def load_reference_checkpoint(path: str):
     """Load a reference .model checkpoint file (torch serialized dict with
     'state_dict' etc., network_trainer.py:256-286)."""

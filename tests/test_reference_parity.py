@@ -178,6 +178,87 @@ def test_predict_3d_tiled_parity_vs_reference():
     assert np.mean(seg_fast != ref_seg) < 0.02
 
 
+def _build_reference_resenc_net(base=4, num_classes=3,
+                                pools=((1, 1, 1), (2, 2, 2), (2, 2, 2)),
+                                blocks_enc=(1, 2, 2), blocks_dec=(1, 1),
+                                in_channels=1):
+    """Reference FabiansUNet exactly as MultiTalent_trainer_resenc_ddp
+    builds it (MultiTalent_meets_resenc.py:72-104: get_default_network_config
+    norm_type='in', feat mul 2, max 320, deep supervision, He init, last-norm
+    zero)."""
+    _enable_reference_imports()
+    from nnunet.network_architecture.generic_modular_residual_UNet import (
+        FabiansUNet, get_default_network_config)
+    from nnunet.network_architecture.initialization import InitWeights_He
+
+    cfg = get_default_network_config(3, None, norm_type="in")
+    pools = [list(p) for p in pools]
+    kernels = [[3, 3, 3]] * len(pools)
+    torch.manual_seed(0)
+    net = FabiansUNet(in_channels, base, list(blocks_enc), 2, pools, kernels,
+                      cfg, num_classes, list(blocks_dec), True, False, 320,
+                      InitWeights_He(1e-2))
+    net.eval()
+    return net
+
+
+def test_fabians_unet_forward_parity_vs_reference():
+    """Resenc (FabiansUNet) forward parity through
+    io/torch_convert.convert_fabians_unet_state_dict — the converter that
+    loads the released resenc MultiTalent zenodo weights
+    (generic_modular_residual_UNet.py:320-373)."""
+    import jax.numpy as jnp
+    from multitalent_tpu.io.torch_convert import convert_fabians_unet_state_dict
+    from multitalent_tpu.models.residual_unet import ResidualEncoderUNet
+
+    pools = ((1, 1, 1), (2, 2, 2), (1, 2, 2))
+    blocks_enc, blocks_dec = (1, 2, 2), (1, 1)
+    net = _build_reference_resenc_net(pools=pools, blocks_enc=blocks_enc,
+                                      blocks_dec=blocks_dec)
+    params = convert_fabians_unet_state_dict(
+        net.state_dict(), num_stages=len(pools),
+        num_blocks_encoder=blocks_enc, num_blocks_decoder=blocks_dec)
+    model = ResidualEncoderUNet(
+        input_channels=1, base_num_features=4, num_classes=3,
+        pool_op_kernel_sizes=pools, conv_kernel_sizes=((3, 3, 3),) * len(pools),
+        num_blocks_encoder=blocks_enc, num_blocks_decoder=blocks_dec,
+        deep_supervision=True, dtype=jnp.float32)
+
+    x = np.random.RandomState(0).randn(1, 1, 8, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = net(torch.from_numpy(x))  # DS list, highest res first
+    ours = model.apply({"params": params},
+                       np.moveaxis(x, 1, -1), deep_supervision=True)
+    assert len(ref_outs) == len(ours)
+    for r, o in zip(ref_outs, ours):
+        o_t = np.moveaxis(np.asarray(o, np.float32), -1, 1)
+        np.testing.assert_allclose(o_t, r.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_fabians_unet_converter_handles_segmentation_output_quirk():
+    """Old checkpoints name the final head decoder.segmentation_output; the
+    reference remaps it to deep_supervision_outputs.{last} at load
+    (nnUNetTrainerV2_DDP.py:650-661). Same remap, same result."""
+    from multitalent_tpu.io.torch_convert import convert_fabians_unet_state_dict
+
+    pools = ((1, 1, 1), (2, 2, 2))
+    net = _build_reference_resenc_net(pools=pools, blocks_enc=(1, 1),
+                                      blocks_dec=(1,))
+    sd = {f"module.{k}": v for k, v in net.state_dict().items()}
+    last = "module.decoder.deep_supervision_outputs.0"
+    sd["module.decoder.segmentation_output.weight"] = sd.pop(f"{last}.weight")
+    sd["module.decoder.segmentation_output.bias"] = sd.pop(f"{last}.bias")
+    params = convert_fabians_unet_state_dict(sd, num_stages=2,
+                                             num_blocks_encoder=(1, 1),
+                                             num_blocks_decoder=(1,))
+    ref = convert_fabians_unet_state_dict(net.state_dict(), num_stages=2,
+                                          num_blocks_encoder=(1, 1),
+                                          num_blocks_decoder=(1,))
+    np.testing.assert_array_equal(params["seg0"]["kernel"],
+                                  ref["seg0"]["kernel"])
+    np.testing.assert_array_equal(params["seg0"]["bias"], ref["seg0"]["bias"])
+
+
 class _IdentityAllGather(torch.autograd.Function):
     """world-size-1 stand-in for utilities/distributed.awesome_allgather_function
     (all_gather of one rank concatenates to the input itself)."""
