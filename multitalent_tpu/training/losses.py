@@ -69,12 +69,24 @@ def soft_dice_loss(logits, labels, *, batch_dice=False, do_bg=True, smooth=1e-5,
     return -jnp.mean(dc)
 
 
+def _select_class_logp(logp, labels_int):
+    """logp[..., labels] without a gather: TPU lowers take_along_axis over the
+    class axis to a scalar-gather slow path (measured 68 ms of a 250 ms Liver
+    dummyLoad train step at (2,128^3,3) on v5e); the one-hot multiply-reduce is
+    an ordinary fused elementwise+reduce at ~memory bandwidth, and its backward
+    is a broadcast instead of a scatter. Classes are few (<=47 here), so the
+    C-fold read amplification is far cheaper than the gather."""
+    c = logp.shape[-1]
+    onehot = labels_int[..., None] == jnp.arange(c, dtype=jnp.int32)
+    return jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
+
+
 def robust_cross_entropy(logits, labels, mask=None):
     """Mean softmax cross-entropy over voxels with integer labels. With a mask, only
     valid voxels contribute (used to ignore the -1 background marker)."""
     labels = labels.astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ll = jnp.take_along_axis(logp, jnp.clip(labels, 0)[..., None], axis=-1)[..., 0]
+    ll = _select_class_logp(logp, jnp.clip(labels, 0))
     if mask is not None:
         m = mask.astype(jnp.float32)
         return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
@@ -215,7 +227,7 @@ def topk_cross_entropy(logits, labels, k_percent=10.0):
     """TopK loss (TopK_loss.py:21): mean CE over the hardest k% voxels."""
     labels = labels.astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ce = -jnp.take_along_axis(logp, jnp.clip(labels, 0)[..., None], axis=-1)[..., 0]
+    ce = -_select_class_logp(logp, jnp.clip(labels, 0))
     flat = ce.reshape(-1)
     k = max(1, int(flat.shape[0] * k_percent / 100))
     top, _ = jax.lax.top_k(flat, k)
@@ -226,7 +238,7 @@ def focal_ce_loss(logits, labels, gamma=2.0, alpha=0.25):
     """Multiclass focal loss (focal_loss.py:23)."""
     labels = labels.astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    ll = jnp.take_along_axis(logp, jnp.clip(labels, 0)[..., None], axis=-1)[..., 0]
+    ll = _select_class_logp(logp, jnp.clip(labels, 0))
     pt = jnp.exp(ll)
     return jnp.mean(-alpha * (1 - pt) ** gamma * ll)
 
