@@ -134,7 +134,7 @@ def apply_nonlin(nonlin: str, x, negative_slope: float = 1e-2):
     """Activation zoo of the variant trainers (_GeLU, _Mish, _ReLU,
     _LReLU_slope_2en1). FRN embeds its own TLU, so 'none' is valid."""
     if nonlin == "leaky_relu":
-        return nn.leaky_relu(x, negative_slope=negative_slope)
+        return lrelu(x, negative_slope)
     if nonlin == "relu":
         return nn.relu(x)
     if nonlin == "gelu":
@@ -147,7 +147,9 @@ def apply_nonlin(nonlin: str, x, negative_slope: float = 1e-2):
 
 
 def lrelu(x, negative_slope=1e-2):
-    return nn.leaky_relu(x, negative_slope=negative_slope)
+    # max(x, slope*x): bitwise-identical to the where-based leaky_relu for
+    # 0<slope<1, one VPU op instead of compare+select (fuses better on TPU)
+    return jnp.maximum(x, x * negative_slope)
 
 
 def symmetric_padding(kernel_size) -> tuple[tuple[int, int], ...]:

@@ -68,7 +68,7 @@ def _instance_norm_lrelu(x, scale, bias, negative_slope=1e-2, eps=1e-5):
     y = (xf - mean) * lax.rsqrt(var + eps) * scale + bias
     # cast before the activation, matching InstanceNorm -> leaky_relu in blocks.py
     y = y.astype(x.dtype)
-    return jnp.where(y >= 0, y, y * negative_slope)
+    return pc._leaky_relu(y, negative_slope)
 
 
 def _block(x, p, *, strides=(1, 1, 1), negative_slope, dtype,
@@ -371,7 +371,7 @@ def packed_unet_forward_fused(model: GenericUNet, params, x, *,
         import os
         try:
             if raw_in.shape[-1] < int(
-                    os.environ.get("MTTPU_PALLAS_MIN_CIN", "0")):
+                    os.environ.get("MTTPU_PALLAS_MIN_CIN", "32")):
                 raise ValueError("cin below pallas threshold")
             if os.environ.get("MTTPU_FUSED_STATS") == "xla":
                 # stats via an XLA reduce instead of the kernel epilogue:

@@ -622,7 +622,7 @@ def pallas_conv3d_same_affine(x, w, *, bias=None, in_scale=None,
     kz, ky, kx, cin, cout = w.shape
     if (kz, ky, kx) != (3, 3, 3) or cin != c:
         raise ValueError("unsupported kernel")
-    if c < int(os.environ.get("MTTPU_PALLAS_MIN_CIN", "0")):
+    if c < int(os.environ.get("MTTPU_PALLAS_MIN_CIN", "32")):
         # tiny C wastes the 128-lane K dim; XLA's implicit-im2col conv
         # (K = 27*C) is the better formulation below the threshold
         raise ValueError("cin below pallas threshold")
@@ -671,7 +671,7 @@ def _affine_lrelu(x, in_scale, in_shift, slope):
     y = (x.astype(jnp.float32) * in_scale.reshape(bshape).astype(jnp.float32)
          + in_shift.reshape(bshape).astype(jnp.float32))
     y = y.astype(x.dtype)
-    return jnp.where(y >= 0, y, y * slope)
+    return jnp.maximum(y, y * slope)
 
 
 def _ref_conv_affine(x, w, bias, in_scale, in_shift, slope):

@@ -131,9 +131,11 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
     # packed phase-major layout of the gaussian map: (Z, Y/fy, X/fx, P);
     # for (1, 1) this is the plain (Z, Y, X, 1) map
     g = g.reshape(patch[0], patch[1] // fy, fy, patch[2] // fx, fx)
-    gauss = jnp.asarray(np.ascontiguousarray(
+    g_packed = np.ascontiguousarray(
         g.transpose(0, 1, 3, 2, 4).reshape(
-            patch[0], patch[1] // fy, patch[2] // fx, nph)))
+            patch[0], patch[1] // fy, patch[2] // fx, nph))
+    gauss = jnp.asarray(g_packed)
+    gauss_div = jnp.asarray(g_packed / len(combos))
     patch_p = (patch[0], patch[1] // fy, patch[2] // fx)
     acc_dtype = jnp.float32 if exact else jnp.float16
     prob_dtype = jnp.float32 if exact else jnp.bfloat16
@@ -218,15 +220,19 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         for j in range(1, n_chunks):
             total = total + _chunk_contrib(params, tile,
                                            chunk_combos_list[j])
-        mean_scaled = total / len(combos)
 
         # accumulators are stored fp16 (the reference's all_in_gpu mode does
-        # the same, neural_network.py:338-364); the add itself runs in fp32
+        # the same, neural_network.py:338-364); the add itself runs in fp32.
+        # The TTA mean's 1/len(combos) is folded into the patch-sized gaussian
+        # constant (gauss_div) rather than dividing the full-res total — the
+        # standalone divide cost ~0.5 s/volume of extra full-tensor traffic on
+        # v5e (xprof divide_convert bucket); acc/cnt stay a consistent ratio
+        # because cnt accumulates the undivided gauss.
         zp, yp, xp = z, y // fy, x // fx
-        gauss_b = (gauss[..., None] if nph > 1 else gauss)
-        ms = (mean_scaled.reshape(patch_p + (nph, num_classes))
-              if nph > 1 else mean_scaled)
-        contrib = (ms * gauss_b * weight).reshape(
+        gauss_b = (gauss_div[..., None] if nph > 1 else gauss_div)
+        ms = (total.reshape(patch_p + (nph, num_classes))
+              if nph > 1 else total)
+        contrib = (ms * (gauss_b * weight)).reshape(
             patch_p + (nph * num_classes,))
         cur = jax.lax.dynamic_slice(acc, (zp, yp, xp, 0),
                                     (*patch_p, nph * num_classes))
