@@ -179,13 +179,17 @@ def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
 # strided conv: packed input -> unpacked strided output (encoder downsampling)
 # ---------------------------------------------------------------------------
 
-def _phase_tap_table_strided(k: int, f: int) -> tuple[int, np.ndarray]:
+def _phase_tap_table_strided(k: int, f: int,
+                             lo: int | None = None) -> tuple[int, np.ndarray]:
     """Tap table for a stride-2 original conv evaluated on an f-packed axis
     (f in {1,2}): the conv's own stride on the packed grid is 2/f, so for f=2
-    output cells read original voxels 2*y' + d - k//2 (one output per cell) and
-    for f=1 the ordinary strided-conv geometry applies."""
-    half = k // 2
-    offs = np.arange(k) - half
+    output cells read original voxels 2*y' + d - lo (one output per cell) and
+    for f=1 the ordinary strided-conv geometry applies. `lo` is the original
+    left padding (default the torch-SAME k//2); mirror-TTA's weight-flip
+    execution passes the flipped-world lo (see flipped_strided_pads)."""
+    if lo is None:
+        lo = k // 2
+    offs = np.arange(k) - lo
     o_min = min(int(d) // f for d in offs)
     o_max = max(int(d) // f for d in offs)
     kp = o_max - o_min + 1
@@ -196,13 +200,31 @@ def _phase_tap_table_strided(k: int, f: int) -> tuple[int, np.ndarray]:
     return kp, table
 
 
-def pack_strided_conv_weights(w: jax.Array, factors=(F, F)) -> jax.Array:
+def flipped_strided_pads(length: int, k: int, stride: int) -> tuple[int, int]:
+    """Explicit (lo, hi) padding that makes a strided conv with TAP-REVERSED
+    weights compute the mirror image of the torch-SAME strided conv:
+    out'[i] = SAME(flip(x), w)[i] == conv(x, rev w, pads)[N-1-i].
+
+    Derivation: SAME uses lo = k//2 and N = floor((L + 2*lo - k)/s) + 1
+    outputs; matching index algebra gives lo' = k - lo - L + s*(N-1) and
+    hi' = lo (out count preserved). For stride 1 this degenerates to the
+    symmetric (k//2, k//2) — flips are free on stride-1 SAME convs."""
+    lo = k // 2
+    n_out = (length + 2 * lo - k) // stride + 1
+    lo2 = k - lo - length + stride * (n_out - 1)
+    return lo2, lo
+
+
+def pack_strided_conv_weights(w: jax.Array, factors=(F, F),
+                              lo_y: int | None = None,
+                              lo_x: int | None = None) -> jax.Array:
     """(kz, ky, kx, Cin, Cout) with original strides (sz, 2, 2) -> packed
-    weight (kz, kyp, kxp, P*Cin, Cout): output lands on packed cell origins."""
+    weight (kz, kyp, kxp, P*Cin, Cout): output lands on packed cell origins.
+    lo_y/lo_x: original-axis left pads (default torch-SAME k//2)."""
     fy, fx = int(factors[0]), int(factors[1])
     kz, ky, kx, cin, cout = w.shape
-    kyp, ty = _phase_tap_table_strided(ky, fy)
-    kxp, tx = _phase_tap_table_strided(kx, fx)
+    kyp, ty = _phase_tap_table_strided(ky, fy, lo_y)
+    kxp, tx = _phase_tap_table_strided(kx, fx, lo_x)
     wp = jnp.zeros((kz, kyp, kxp, fy, fx, cin, cout), w.dtype)
     for dy in range(ky):
         oy, py = int(ty[dy, 0]), int(ty[dy, 1])
@@ -214,19 +236,31 @@ def pack_strided_conv_weights(w: jax.Array, factors=(F, F)) -> jax.Array:
 
 def packed_strided_conv3d(x_packed: jax.Array, w: jax.Array, *,
                           z_stride: int = 2, factors=(F, F),
-                          precision=None) -> jax.Array:
+                          precision=None, flip=()) -> jax.Array:
     """Conv with strides (z_stride, 2, 2) over the ORIGINAL grid, input packed
     by `factors`, output UNPACKED: (N, Z/sz, Y/2, X/2, Cout). nnU-Net's first
-    strided conv of the next stage; SAME (torch symmetric) padding semantics."""
+    strided conv of the next stage; SAME (torch symmetric) padding semantics.
+
+    flip: spatial axes (0=z, 1=y, 2=x) executing in mirror-TTA weight-flip
+    mode: `w` must arrive TAP-REVERSED on those axes and the padding switches
+    to the flipped-world asymmetric pads (flipped_strided_pads), so the output
+    equals flip(packed_strided(flip(x), w)) without any activation flips."""
     fy, fx = int(factors[0]), int(factors[1])
     kz, ky, kx = w.shape[:3]
-    wp = pack_strided_conv_weights(w, factors)
+    lz = x_packed.shape[1]
+    ly = x_packed.shape[2] * fy
+    lx = x_packed.shape[3] * fx
+    lo_z, hi_z = ((kz // 2, kz - 1 - kz // 2) if 0 not in flip
+                  else flipped_strided_pads(lz, kz, z_stride))
+    lo_y = ky // 2 if 1 not in flip else flipped_strided_pads(ly, ky, 2)[0]
+    lo_x = kx // 2 if 2 not in flip else flipped_strided_pads(lx, kx, 2)[0]
+    wp = pack_strided_conv_weights(w, factors, lo_y, lo_x)
     kyp, kxp = wp.shape[1], wp.shape[2]
-    # left pad in packed cells = -o_min of the tap table (original tap -k//2
-    # lands in packed cell floor(-k//2 / f)); right pad fills the packed kernel
-    pady_l = -((-(ky // 2)) // fy)
-    padx_l = -((-(kx // 2)) // fx)
-    pad = ((kz // 2, kz - 1 - kz // 2),
+    # left pad in packed cells = -o_min of the tap table (original tap -lo
+    # lands in packed cell floor(-lo / f)); right pad fills the packed kernel
+    pady_l = -((-lo_y) // fy)
+    padx_l = -((-lo_x) // fx)
+    pad = ((lo_z, hi_z),
            (pady_l, kyp - 1 - pady_l),
            (padx_l, kxp - 1 - padx_l))
     return lax.conv_general_dilated(

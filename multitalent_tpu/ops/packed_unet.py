@@ -36,14 +36,15 @@ from multitalent_tpu.ops import packed_conv as pc
 UNPACKED = (1, 1)
 
 
-def _conv_same(x, w, b=None, strides=(1, 1, 1), dtype=jnp.bfloat16):
+def _conv_same(x, w, b=None, strides=(1, 1, 1), dtype=jnp.bfloat16,
+               pads=None):
     # Interior (C >= 120) stride-1 3^3 convs ride the Pallas tap-GEMM kernel:
     # measured per-stage at b4 it beats XLA everywhere (enc2 86 vs 73, enc3 63
     # vs 56, dec2 60 vs 46, dec1 41 vs 36 TFLOP/s). Channels below 120 stay on
     # XLA — the 128-lane padding inflates FLOPs by (128/C)^2 and loses.
     # (An earlier b2 measurement concluded the opposite; superseded.)
     if (strides == (1, 1, 1) and w.shape[:3] == (3, 3, 3)
-            and w.shape[3] >= 120):
+            and w.shape[3] >= 120 and pads is None):
         from multitalent_tpu.ops.pallas_conv import (conv3d_same_fast,
                                                      pallas_conv_enabled)
         if pallas_conv_enabled():
@@ -51,7 +52,8 @@ def _conv_same(x, w, b=None, strides=(1, 1, 1), dtype=jnp.bfloat16):
             if b is not None:
                 out = out + b.astype(dtype)
             return out
-    pad = tuple(((k - 1) // 2, (k - 1) // 2) for k in w.shape[:3])
+    pad = (tuple(((k - 1) // 2, (k - 1) // 2) for k in w.shape[:3])
+           if pads is None else tuple(pads))
     out = lax.conv_general_dilated(
         x.astype(dtype), w.astype(dtype), tuple(strides), pad,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
@@ -72,7 +74,7 @@ def _instance_norm_lrelu(x, scale, bias, negative_slope=1e-2, eps=1e-5):
 
 
 def _block(x, p, *, strides=(1, 1, 1), negative_slope, dtype,
-           factors=UNPACKED, in_groups=None):
+           factors=UNPACKED, in_groups=None, pads=None):
     """One ConvNormAct block (conv + bias -> InstanceNorm -> LeakyReLU)."""
     w, b = p["conv"]["kernel"], p["conv"]["bias"]
     ns, nb = p["norm"]["scale"], p["norm"]["bias"]
@@ -83,7 +85,7 @@ def _block(x, p, *, strides=(1, 1, 1), negative_slope, dtype,
         out = out + jnp.tile(b.astype(dtype), pc.nphases(factors))
         return pc.packed_instance_norm(out, ns, nb, factors=factors,
                                        negative_slope=negative_slope)
-    out = _conv_same(x, w, b, strides, dtype)
+    out = _conv_same(x, w, b, strides, dtype, pads=pads)
     return _instance_norm_lrelu(out, ns, nb, negative_slope)
 
 
@@ -125,10 +127,26 @@ def packable_stages(model: GenericUNet, patch_size: Sequence[int],
                if f != UNPACKED)
 
 
+def _flip_conv_kernels(params, axes):
+    """Tap-reverse every 5-D conv kernel on the given spatial axes (0=z, 1=y,
+    2=x). In a GenericUNet params tree the 5-D leaves are exactly the conv /
+    transposed-conv / seg-head kernels (kz, ky, kx, Cin, Cout); 1x1x1 heads
+    flip to themselves. Weights are tiny next to activations, so re-deriving
+    the 8 mirror variants inside jit costs ~nothing while removing every
+    activation flip from the TTA loop."""
+    axes = [int(a) for a in axes]
+    if not axes:
+        return params
+    return jax.tree_util.tree_map(
+        lambda v: jnp.flip(v, axes) if getattr(v, "ndim", 0) == 5 else v,
+        params)
+
+
 def packed_unet_forward(model: GenericUNet, params, x, *,
                         deep_supervision: bool = False,
                         pack_max_channels: int = 128,
-                        packed_output: bool = False):
+                        packed_output: bool = False,
+                        flip_combo: tuple[int, ...] = ()):
     """Forward pass equal to model.apply({'params': params}, x,
     deep_supervision=...) but with the leading stages executed packed.
 
@@ -140,15 +158,42 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
     phase-major — skipping the full-resolution depth-to-space, the single
     largest layout copy of the forward (~14 ms per b2 flagship forward on
     v5e). The sliding-window engine accumulates in packed space and performs
-    one depth-to-space per VOLUME at finalize instead of one per tile."""
+    one depth-to-space per VOLUME at finalize instead of one per tile.
+
+    flip_combo: static subset of spatial axes (0=z, 1=y, 2=x) for mirror-TTA
+    executed IN THE WEIGHTS: returns flip(net(flip(x))) on those axes while
+    never flipping an activation — conv kernels are tap-reversed and strided
+    convs use the mirrored asymmetric padding (flipped_strided_pads). The
+    per-tile unflip of full-res probabilities this replaces cost ~1.5 s/volume
+    of lax.rev traffic on v5e (xprof, 8x TTA). Exact: the flip equivariance of
+    conv/norm/pointwise ops is algebraic, not approximate."""
     num_pool = model.num_pool
     dtype = model.dtype
     slope = model.negative_slope
+    flip_combo = tuple(int(a) for a in flip_combo)
     sfactors = stage_factors(model, x.shape[1:4], pack_max_channels)
     if all(f == UNPACKED for f in sfactors):
+        if flip_combo:
+            raise ValueError("flip_combo requires the packed execution path")
         out = model.apply({"params": params}, x,
                           deep_supervision=deep_supervision)
         return (out, UNPACKED) if packed_output else out
+
+    params = _flip_conv_kernels(params, flip_combo)
+
+    def strided_pads(shape_zyx, kernel, strides):
+        """Per-axis explicit pads for an unpacked strided conv under
+        flip_combo (None = torch-SAME symmetric everywhere)."""
+        if not flip_combo:
+            return None
+        pads = []
+        for a in range(3):
+            k, s, L = kernel[a], strides[a], shape_zyx[a]
+            if a in flip_combo:
+                pads.append(pc.flipped_strided_pads(L, k, s))
+            else:
+                pads.append(((k - 1) // 2, k - 1 - (k - 1) // 2))
+        return tuple(pads)
 
     x = x.astype(dtype)
     cur = sfactors[0]
@@ -169,7 +214,7 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                     w, b = bp["conv"]["kernel"], bp["conv"]["bias"]
                     out = pc.packed_strided_conv3d(
                         x.astype(dtype), w.astype(dtype), z_stride=stride[0],
-                        factors=cur)
+                        factors=cur, flip=flip_combo)
                     out = out + b.astype(dtype)
                     if nxt != UNPACKED:
                         out = pc.space_to_depth_yx(out, nxt)
@@ -182,7 +227,10 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                     cur = nxt
                 else:
                     x = _block(x, bp, strides=stride, negative_slope=slope,
-                               dtype=dtype)
+                               dtype=dtype,
+                               pads=strided_pads(
+                                   x.shape[1:4],
+                                   bp["conv"]["kernel"].shape[:3], stride))
             else:
                 x = _block(x, bp, negative_slope=slope, dtype=dtype,
                            factors=cur)
@@ -297,8 +345,8 @@ def make_packed_inference_apply_fn(model, patch_size):
 
     fuse = os.environ.get("MTTPU_FUSED_NORM") == "1"
 
-    def apply_fn(params, batch):
-        if fuse:
+    def apply_fn(params, batch, flip=()):
+        if fuse and not flip:
             try:
                 out, f = packed_unet_forward_fused(model, params, batch,
                                                    pack_max_channels=pmc,
@@ -310,10 +358,15 @@ def make_packed_inference_apply_fn(model, patch_size):
         out, f = packed_unet_forward(model, params, batch,
                                      deep_supervision=False,
                                      pack_max_channels=pmc,
-                                     packed_output=True)
+                                     packed_output=True,
+                                     flip_combo=tuple(flip))
         assert f == factors, (f, factors)
         return out
 
+    # mirror TTA can run in the weights (tap-reversed kernels + mirrored
+    # strided-conv padding) instead of flipping activations: the sliding-
+    # window engine checks this flag to pick the flip-free accumulation path
+    apply_fn.supports_weight_flip = True
     return apply_fn, factors
 
 

@@ -99,7 +99,8 @@ def mirror_combinations(mirror_axes: tuple[int, ...]) -> list[tuple[int, ...]]:
 @lru_cache(maxsize=32)
 def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
                        mirror_axes, use_gaussian, nonlin, tta_chunk,
-                       exact=False, packed_factors=(1, 1)):
+                       exact=False, packed_factors=(1, 1),
+                       flip_in_weights=False):
     """Builds + jits the scan-over-tiles program. apply_fn_id carries the callable
     (wrapped for hashability by the caller).
 
@@ -175,14 +176,8 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             axes.extend((2, 4))
         return jnp.flip(v, axis=axes).reshape(x.shape)
 
-    def _chunk_contrib(params, tile, chunk_combos):
-        """One TTA chunk of one tile: batched flipped forward -> probabilities
-        unflipped back to tile frame and summed over the chunk in fp32. No
-        accumulator traffic here."""
-        pad = chunk - len(chunk_combos)
-        batch = jnp.stack([flip_static(tile, c) for c in chunk_combos]
-                          + [tile] * pad)
-        logits = apply_fn(params, batch)
+    def _apply_nonlin(logits):
+        """logits -> probabilities in prob_dtype (packed-aware softmax)."""
         if nonlin == "softmax":
             lf = logits.astype(jnp.float32)
             if nph > 1:  # per-phase class softmax in packed layout
@@ -196,11 +191,65 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             probs = jax.nn.sigmoid(logits.astype(jnp.float32))
         else:
             probs = logits.astype(jnp.float32)
+        return probs.astype(prob_dtype)
+
+    def _tiles_total_flipw(params, tiles):
+        """Mirror-TTA sum over all combos for a BATCH of tiles, with the
+        flips executed in the weights (packed_unet_forward flip_combo:
+        tap-reversed kernels + mirrored strided-conv padding) — no activation
+        ever flips and every combo's probabilities land directly in the tile
+        frame. Replaces the flip/stack/unflip machinery of _chunk_contrib
+        (~1.5 s/volume of lax.rev on the full-res probability tensors plus
+        the flipped input stacks, v5e xprof)."""
+        total = None
+        for combo in combos:
+            probs = _apply_nonlin(apply_fn(params, tiles, combo))
+            u = probs.astype(jnp.float32)
+            total = u if total is None else total + u
+        return total
+
+    def _accumulate_tiles_flipw(acc, cnt, params, padded_volume, coords,
+                                weights):
+        """TB tiles x full TTA with one RMW per tile per accumulator."""
+        tb = coords.shape[0]
+        tiles = jnp.stack([
+            jax.lax.dynamic_slice(padded_volume,
+                                  (coords[t, 0], coords[t, 1], coords[t, 2],
+                                   0), (*patch, in_channels))
+            for t in range(tb)])
+        total = _tiles_total_flipw(params, tiles)
+        gauss_b = (gauss_div[..., None] if nph > 1 else gauss_div)
+        for t in range(tb):
+            zp, yp, xp = (coords[t, 0], coords[t, 1] // fy,
+                          coords[t, 2] // fx)
+            ms = (total[t].reshape(patch_p + (nph, num_classes))
+                  if nph > 1 else total[t])
+            contrib = (ms * (gauss_b * weights[t])).reshape(
+                patch_p + (nph * num_classes,))
+            cur = jax.lax.dynamic_slice(acc, (zp, yp, xp, 0),
+                                        (*patch_p, nph * num_classes))
+            acc = jax.lax.dynamic_update_slice(
+                acc, (cur.astype(jnp.float32) + contrib).astype(acc.dtype),
+                (zp, yp, xp, 0))
+            cur_c = jax.lax.dynamic_slice(cnt, (zp, yp, xp, 0),
+                                          (*patch_p, nph))
+            new_c = cur_c.astype(jnp.float32) + gauss * weights[t]
+            cnt = jax.lax.dynamic_update_slice(cnt, new_c.astype(cnt.dtype),
+                                               (zp, yp, xp, 0))
+        return acc, cnt
+
+    def _chunk_contrib(params, tile, chunk_combos):
+        """One TTA chunk of one tile: batched flipped forward -> probabilities
+        unflipped back to tile frame and summed over the chunk in fp32. No
+        accumulator traffic here."""
+        pad = chunk - len(chunk_combos)
+        batch = jnp.stack([flip_static(tile, c) for c in chunk_combos]
+                          + [tile] * pad)
         # probabilities held in bf16 (fp32 in `exact` mode): halves the live
         # prob buffers so a larger TTA batch fits; the reference's all_in_gpu
         # mode makes the same precision trade with fp16
         # (neural_network.py:338-364)
-        probs = probs.astype(prob_dtype)
+        probs = _apply_nonlin(apply_fn(params, batch))
         total = None
         for j, c in enumerate(chunk_combos):
             u = flip_static_packed(probs[j], c).astype(jnp.float32)
@@ -250,10 +299,12 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         """Host-loop step: TILES_PER_STEP tiles x full TTA per dispatch
         (used by the multi-device tile-sharding path, where dispatches must
         interleave across devices, and as the MTTPU_SW_DEVICE_LOOP=0
-        fallback). Tiles run sequentially inside the program — same peak
-        memory as one tile. The flip combos are compile-time constants baked
+        fallback). The flip combos are compile-time constants baked
         into the program (device-neutral: the multi-device tile sharding
         runs this same program per device)."""
+        if flip_in_weights:
+            return _accumulate_tiles_flipw(acc, cnt, params, padded_volume,
+                                           coords, weights)
         for t in range(coords.shape[0]):
             acc, cnt = _accumulate_tile(acc, cnt, params, padded_volume,
                                         coords[t, 0], coords[t, 1],
@@ -268,20 +319,41 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         covers every tile — on tunnelled TPUs the per-dispatch round-trip
         (~0.1 s) otherwise costs ~9 s per (256,320,320) volume across ~90
         dispatches. Trip count is bucketed (multiples of 8) so a handful of
-        compilations serve all volumes of one padded shape."""
+        compilations serve all volumes of one padded shape. In
+        flip_in_weights mode the body batches TILES (the combo loop runs
+        per-combo forwards with mirrored weights), tile_batch per step."""
         if n_padded not in _loop_fns:
+            if flip_in_weights:
+                tb = max(1, min(int(tta_chunk), 2))
 
-            @partial(jax.jit, donate_argnums=(0, 1))
-            def run_loop(acc, cnt, params, padded_volume, coords_pad,
-                         weights_pad):
-                def body(i, carry):
-                    acc, cnt = carry
-                    z, y, x = (coords_pad[i, 0], coords_pad[i, 1],
-                               coords_pad[i, 2])
-                    return _accumulate_tile(acc, cnt, params, padded_volume,
-                                            z, y, x, weights_pad[i])
+                @partial(jax.jit, donate_argnums=(0, 1))
+                def run_loop(acc, cnt, params, padded_volume, coords_pad,
+                             weights_pad):
+                    groups = coords_pad.reshape(-1, tb, 3)
+                    wgroups = weights_pad.reshape(-1, tb)
 
-                return jax.lax.fori_loop(0, n_padded, body, (acc, cnt))
+                    def body(i, carry):
+                        acc, cnt = carry
+                        return _accumulate_tiles_flipw(
+                            acc, cnt, params, padded_volume, groups[i],
+                            wgroups[i])
+
+                    return jax.lax.fori_loop(0, groups.shape[0], body,
+                                             (acc, cnt))
+            else:
+
+                @partial(jax.jit, donate_argnums=(0, 1))
+                def run_loop(acc, cnt, params, padded_volume, coords_pad,
+                             weights_pad):
+                    def body(i, carry):
+                        acc, cnt = carry
+                        z, y, x = (coords_pad[i, 0], coords_pad[i, 1],
+                                   coords_pad[i, 2])
+                        return _accumulate_tile(acc, cnt, params,
+                                                padded_volume, z, y, x,
+                                                weights_pad[i])
+
+                    return jax.lax.fori_loop(0, n_padded, body, (acc, cnt))
 
             _loop_fns[n_padded] = run_loop
         return _loop_fns[n_padded]
@@ -544,19 +616,28 @@ class SlidingWindowPredictor:
             preput = self.begin_put(volume_czyx)
         vol_dev, coords, slicer = preput
         padded = vol_dev  # shape source only; data stays on device
+        import os
         apply_id, factors = self.apply_fn, (1, 1)
+        flipw = False
         if self.packed_apply is not None:
             pfy, pfx = self.packed_apply[1]
             if (padded.shape[1] % pfy == 0 and padded.shape[2] % pfx == 0
                     and not (coords[:, 1] % pfy).any()
                     and not (coords[:, 2] % pfx).any()):
                 apply_id, factors = self.packed_apply
+                # mirror TTA in the weights (tap-reversed kernels, mirrored
+                # strided padding): no activation flips; the combo loop runs
+                # per-combo forwards over a tile batch instead of a combo
+                # batch. Default on when the apply fn supports it.
+                flipw = (getattr(apply_id.fn, "supports_weight_flip", False)
+                         and os.environ.get("MTTPU_SW_FLIPW", "1") != "0")
         chunk = min(self.tta_chunk, self._chunk_fitting_memory(padded.shape[:-1]))
         while True:
             runner = _make_tiled_runner(
                 apply_id, self.patch_size, self.in_channels,
                 self.num_classes, self.mirror_axes, self.use_gaussian,
-                self.nonlin, chunk, self.exact, factors)
+                self.nonlin, chunk, self.exact, factors,
+                flip_in_weights=flipw)
             try:
                 probs = runner(params, vol_dev, coords, devices=self.devices,
                                pack_threshold=pack_threshold)
