@@ -137,9 +137,15 @@ def _flip_conv_kernels(params, axes):
     axes = [int(a) for a in axes]
     if not axes:
         return params
-    return jax.tree_util.tree_map(
+    flipped = jax.tree_util.tree_map(
         lambda v: jnp.flip(v, axes) if getattr(v, "ndim", 0) == 5 else v,
         params)
+    # Barrier: without it XLA folds the kernel lax.rev into the conv's
+    # window_reversal, and the TPU fusion emitter then trips a
+    # `window.pad_low[i] == 0` CHECK (observed -2) when that combines with
+    # the asymmetric flipped-world pads. Materializing the flipped kernels
+    # (a few MB, once per combo per program) sidesteps the miscompile.
+    return jax.lax.optimization_barrier(flipped)
 
 
 def packed_unet_forward(model: GenericUNet, params, x, *,

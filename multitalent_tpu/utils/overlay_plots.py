@@ -73,6 +73,67 @@ def plot_overlay_folder(image_folder: str, seg_folder: str, output_folder: str,
         list(pool.map(run, segs))
 
 
+def plot_overlay_preprocessed(case_npz: str, output_file: str,
+                              overlay_intensity: float = 0.6,
+                              modality_index: int = 0) -> None:
+    """Overlay straight from a preprocessed .npz case (data[-1] is the seg
+    map, negative values are the outside-mask sentinel; reference
+    overlay_plots.py:110-124)."""
+    data = np.load(case_npz)["data"]
+    assert modality_index < data.shape[0] - 1, \
+        f"modality_index {modality_index} out of range for {case_npz}"
+    seg = data[-1].copy()
+    seg[seg < 0] = 0
+    image = data[modality_index]
+    s = select_slice(seg)
+    _write_png(output_file,
+               generate_overlay(image[s], seg[s],
+                                overlay_intensity=overlay_intensity))
+
+
+def generate_overlays_for_task(task_name_or_id, output_folder: str,
+                               num_processes: int = 8, modality_idx: int = 0,
+                               use_preprocessed: bool = True,
+                               data_identifier: str = "MTTPUData_plans_v2.1") -> None:
+    """One overlay PNG per training case of a task (reference
+    overlay_plots.py:150-188): from the preprocessed npz stage folder
+    (highest stage of `data_identifier`) or from raw imagesTr/labelsTr."""
+    from multitalent_tpu import paths
+    from multitalent_tpu.utils.task_names import convert_id_to_task_name
+
+    task = str(task_name_or_id)
+    if not task.startswith("Task"):
+        task = convert_id_to_task_name(int(task))
+    maybe_mkdir(output_folder)
+    if not use_preprocessed:
+        folder = os.path.join(paths.nnUNet_raw_data(), task)
+        plot_overlay_folder(os.path.join(folder, "imagesTr"),
+                            os.path.join(folder, "labelsTr"),
+                            output_folder, modality=modality_idx,
+                            processes=num_processes)
+        return
+    folder = os.path.join(paths.preprocessing_output_dir(), task)
+    if not os.path.isdir(folder):
+        raise RuntimeError(f"run preprocessing for {task} first")
+    from multitalent_tpu.utils.fileops import subdirs
+    stages = sorted(subdirs(folder, prefix=data_identifier + "_stage"))
+    if not stages:
+        raise RuntimeError(
+            f"no {data_identifier}_stage* folder under {folder}; run "
+            "preprocessing with the default planner first")
+    stage = stages[-1]
+    cases = subfiles(stage, suffix=".npz", join=False)
+
+    def run(f):
+        plot_overlay_preprocessed(
+            os.path.join(stage, f),
+            os.path.join(output_folder, f[:-4] + ".png"),
+            modality_index=modality_idx)
+
+    with ThreadPoolExecutor(max_workers=num_processes) as pool:
+        list(pool.map(run, cases))
+
+
 def _write_png(path: str, rgb: np.ndarray) -> None:
     """Minimal PNG writer (no external imaging dependency): 8-bit RGB."""
     import struct
