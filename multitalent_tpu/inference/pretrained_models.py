@@ -157,6 +157,102 @@ def download_and_install_pretrained_model_by_name(task_name: str) -> None:
             "install_model_from_zip_file(<zip>).") from e
 
 
+def export_pretrained_model(task_name: str, output_file: str,
+                            models=("2d", "3d_lowres", "3d_fullres",
+                                    "3d_cascade_fullres"),
+                            trainer: str | None = None,
+                            cascade_trainer: str | None = None,
+                            plans_identifier: str | None = None,
+                            folds=(0, 1, 2, 3, 4), strict: bool = True) -> None:
+    """Zip trained models of one task for sharing — the inverse of
+    install_model_from_zip_file (collect_pretrained_models.py:143-214).
+
+    Archive paths are relative to network_training_output_dir, so the zip
+    round-trips through install_model_from_zip_file on another machine.
+    Per fold it packs the final checkpoint (either this framework's
+    .ckpt/.ckpt.pkl pair or an imported reference .model/.model.pkl pair,
+    whichever exists) plus debug.json/progress.png when present; per model
+    dir plans.pkl (required) and postprocessing.json (required when strict,
+    as in the reference); plus any valid ensemble postprocessing.json."""
+    from multitalent_tpu.paths import (default_cascade_trainer,
+                                       default_plans_identifier,
+                                       default_trainer)
+    trainer = trainer or default_trainer
+    cascade_trainer = cascade_trainer or default_cascade_trainer
+    plans_identifier = plans_identifier or default_plans_identifier
+    base = paths.network_training_output_dir()
+    tdir = f"{trainer}__{plans_identifier}"
+    tdir_cascade = f"{cascade_trainer}__{plans_identifier}"
+
+    def _add(z, abspath):
+        z.write(abspath, os.path.relpath(abspath, base))
+
+    with zipfile.ZipFile(output_file, "w", zipfile.ZIP_DEFLATED) as z:
+        for m in models:
+            to = tdir_cascade if m == "3d_cascade_fullres" else tdir
+            mdir = os.path.join(base, m, task_name, to)
+            if not os.path.isdir(mdir):
+                if strict:
+                    raise RuntimeError(
+                        f"Task {task_name} is missing the model {m} "
+                        f"({mdir}); use strict=False to skip")
+                continue
+            fold_names = [f"fold_{f}" if f != "all" else str(f)
+                          for f in folds]
+            missing = [f for f in fold_names
+                       if not os.path.isdir(os.path.join(mdir, f))]
+            assert not missing, (f"not all requested folds present for "
+                                 f"{task_name} {m}: missing {missing}")
+            plans = os.path.join(mdir, "plans.pkl")
+            assert os.path.isfile(plans), f"plans.pkl missing in {mdir}"
+            for fn in fold_names:
+                fdir = os.path.join(mdir, fn)
+                ck = [f"model_final_checkpoint{s}" for s in
+                      (".ckpt", ".ckpt.pkl", ".model", ".model.pkl")]
+                present = [c for c in ck
+                           if os.path.isfile(os.path.join(fdir, c))]
+                if not present:
+                    raise RuntimeError(
+                        f"no final checkpoint in {fdir} (looked for {ck})")
+                for c in present:
+                    _add(z, os.path.join(fdir, c))
+                for extra in ("debug.json", "progress.png"):
+                    p = os.path.join(fdir, extra)
+                    if os.path.isfile(p):
+                        _add(z, p)
+            _add(z, plans)
+            pp = os.path.join(mdir, "postprocessing.json")
+            if os.path.isfile(pp):
+                _add(z, pp)
+            elif strict:
+                raise RuntimeError(
+                    f"postprocessing.json missing in {mdir}; run "
+                    "mttpu_determine_postprocessing or use strict=False")
+            else:
+                print(f"WARNING: postprocessing.json missing in {mdir}")
+        # valid ensembles' postprocessing (collect_pretrained_models.py:199-213)
+        edir = os.path.join(base, "ensembles", task_name)
+        if os.path.isdir(edir):
+            valid_trainers = {trainer, cascade_trainer}
+            for sub in subdirs(edir, join=False):
+                body = sub[len("ensemble_"):] if sub.startswith("ensemble_") \
+                    else sub
+                try:
+                    mb1, mb2 = body.split("--")
+                    parts = [mb.split("__") for mb in (mb1, mb2)]
+                    ok = all(len(p) == 3 and p[0] in models
+                             and p[1] in valid_trainers
+                             and p[2] == plans_identifier for p in parts)
+                except ValueError:
+                    ok = False
+                pp = os.path.join(edir, sub, "postprocessing.json")
+                if ok and os.path.isfile(pp):
+                    _add(z, pp)
+        else:
+            print(f"No ensemble directory found for task {task_name}")
+    print(f"wrote {output_file}")
+
+
 def install_model_from_zip_file(zip_file: str) -> None:
     """Extract a model zip into RESULTS_FOLDER/nnUNet and apply the MultiTalent
     folder-rename fixups (download_pretrained_model.py:274-280: the released zip

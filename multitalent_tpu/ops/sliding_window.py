@@ -28,6 +28,7 @@ TPU-native design:
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 from itertools import combinations
 
@@ -324,7 +325,9 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         per-combo forwards with mirrored weights), tile_batch per step."""
         if n_padded not in _loop_fns:
             if flip_in_weights:
-                tb = max(1, min(int(tta_chunk), 2))
+                tb = max(1, min(int(tta_chunk),
+                                int(os.environ.get("MTTPU_SW_TILE_BATCH",
+                                                   "2"))))
 
                 @partial(jax.jit, donate_argnums=(0, 1))
                 def run_loop(acc, cnt, params, padded_volume, coords_pad,
@@ -424,7 +427,6 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
 
     def run(params, padded_volume, coords_host: np.ndarray, devices=None,
             pack_threshold=None):
-        import os
         if devices is not None and len(devices) > 1:
             return _run_sharded(params, padded_volume, coords_host, devices,
                                 pack_threshold)
@@ -526,7 +528,6 @@ class SlidingWindowPredictor:
         self.use_gaussian = use_gaussian
         self.tta_chunk = tta_chunk
         if exact is None:
-            import os
             exact = os.environ.get("MTTPU_SW_EXACT", "0") == "1"
         # exact: fp32 probabilities + accumulators, unclamped gaussian tail —
         # bit-comparable to the reference's fp32 CPU path (used by the golden
@@ -616,7 +617,6 @@ class SlidingWindowPredictor:
             preput = self.begin_put(volume_czyx)
         vol_dev, coords, slicer = preput
         padded = vol_dev  # shape source only; data stays on device
-        import os
         apply_id, factors = self.apply_fn, (1, 1)
         flipw = False
         if self.packed_apply is not None:

@@ -21,6 +21,13 @@ def convert_id_to_task_name(task_id: int) -> str:
             root = None
         if root is not None and os.path.isdir(root):
             candidates += subdirs(root, prefix=startswith, join=False)
+    # trained-model folders count too (task_name_id_conversion.py:37-41)
+    if paths.get_results_dir() is not None:
+        base = paths.network_training_output_dir()
+        for m in ("2d", "3d_lowres", "3d_fullres", "3d_cascade_fullres"):
+            mdir = os.path.join(base, m)
+            if os.path.isdir(mdir):
+                candidates += subdirs(mdir, prefix=startswith, join=False)
     unique = sorted(set(candidates))
     if len(unique) == 0:
         raise RuntimeError(
