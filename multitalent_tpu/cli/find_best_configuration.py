@@ -32,6 +32,12 @@ def collect_cv_niftis(model_folder: str, folds, out_folder: str,
             return False
         for p in subfiles(fold_dir, suffix=".nii.gz"):
             shutil.copy(p, out_folder)
+        # saved softmax (+properties) travel too — ensembling averages them
+        # (figure_out_what_to_submit consolidates the validation npz the same
+        # way; without these the pairwise-ensemble stage has nothing to read)
+        for suffix in (".npz", ".pkl"):
+            for p in subfiles(fold_dir, suffix=suffix):
+                shutil.copy(p, out_folder)
     return True
 
 
