@@ -107,6 +107,49 @@ class BatchShardingPlan:
         return jax.lax.with_sharding_constraint(x, act)
 
 
+def compile_train_step(plan, augment, train_core, *, donate_argnums=(0,),
+                       core_out_shardings=None):
+    """THE way to jit a train step that starts with on-device augmentation.
+
+    Contract: augment(rng, data, seg) -> (data, targets);
+    train_core(state, data, targets, *extras) -> anything. Returns
+    step(state, rng, data, seg, *extras).
+
+    Spatially-sharded plans (plan.space_axis set) compile the augmentation as
+    its OWN batch-only program: a downstream with_sharding_constraint cannot
+    stop the SPMD partitioner from choosing spatial shardings INSIDE the
+    augmentation, and XLA's partitioner has been observed to miscompile the
+    rotation warp's gather patterns under spatial sharding (key-dependent
+    inf/NaN outputs). Pinning the whole augment program's outputs to
+    batch-only sharding removes the spatial axis from its partitioning search
+    entirely, at the cost of one extra dispatch per iteration (multi-device
+    runs only). Every caller that mixes augmentation with a spatial mesh MUST
+    come through here so the fence is structural, not conventional
+    (regression test: tests/test_parallel_training.py hybrid-mesh NaN)."""
+    if plan is not None and plan.space_axis is not None:
+        aug_fn = jax.jit(augment, out_shardings=plan.batch_sharding)
+        core_kw = {}
+        if core_out_shardings is not None:
+            core_kw["out_shardings"] = core_out_shardings
+        core_fn = jax.jit(train_core, donate_argnums=donate_argnums,
+                          **core_kw)
+
+        def step(state, rng, data, seg, *extras):
+            data, targets = aug_fn(rng, data, seg)
+            return core_fn(state, data, targets, *extras)
+
+        return step
+
+    def fused(state, rng, data, seg, *extras):
+        data, targets = augment(rng, data, seg)
+        return train_core(state, data, targets, *extras)
+
+    kw = {}
+    if core_out_shardings is not None:
+        kw["out_shardings"] = core_out_shardings
+    return jax.jit(fused, donate_argnums=donate_argnums, **kw)
+
+
 def plan_batch_sharding(global_batch_size: int, patch_size, devices=None):
     """Pick a mesh and input shardings for one SPMD train step.
 

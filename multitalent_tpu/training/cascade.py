@@ -215,10 +215,6 @@ class TrainerV2CascadeFullRes(TrainerV2):
             state = state.apply_gradients(grads)
             return state, loss, aux
 
-        def train_step(state, rng, data_bc, seg_b2, extras):
-            data, targets = augment(rng, data_bc, seg_b2)
-            return train_core(state, data, targets, extras)
-
         def eval_step(state, data_bc, seg_b2, extras):
             data, targets = val_transform(data_bc, seg_b2)
             data = _constrain(data)
@@ -227,20 +223,9 @@ class TrainerV2CascadeFullRes(TrainerV2):
             loss, aux = self.loss_fn(outputs, targets, extras)
             return loss, aux, self.eval_stats(outputs, targets, extras)
 
-        if splan is not None and splan.space_axis is not None:
-            # see trainers.py: spatially-sharded plans run augmentation as a
-            # separate batch-only program — the SPMD partitioner miscompiles
-            # the warp gathers under spatial sharding (key-dependent inf/NaN)
-            aug_fn = jax.jit(augment, out_shardings=splan.batch_sharding)
-            core_fn = jax.jit(train_core, donate_argnums=(0,))
-
-            def _train(state, rng, data_bc, seg_b2, extras):
-                data, targets = aug_fn(rng, data_bc, seg_b2)
-                return core_fn(state, data, targets, extras)
-
-            self._train_step = _train
-        else:
-            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        # augmentation/spatial-mesh fence is structural: one choke point
+        from multitalent_tpu.parallel.mesh import compile_train_step
+        self._train_step = compile_train_step(splan, augment, train_core)
         self._eval_step = jax.jit(eval_step)
 
     def predict_preprocessed_data_return_seg_and_softmax(

@@ -325,10 +325,6 @@ class TrainerV2(NetworkTrainerBase):
             state = state.apply_gradients(grads)
             return state, loss, aux
 
-        def train_step(state, rng, data_bc, seg_b1, extras):
-            data, targets = augment(rng, data_bc, seg_b1)
-            return train_core(state, data, targets, extras)
-
         def eval_step(state, data_bc, seg_b1, extras):
             data, targets = val_transform(data_bc, seg_b1)
             data = _constrain(data)
@@ -336,27 +332,11 @@ class TrainerV2(NetworkTrainerBase):
             loss, aux = self.loss_fn(outputs, targets, extras)
             return loss, aux, self.eval_stats(outputs, targets, extras)
 
-        if plan is not None and plan.space_axis is not None:
-            # Spatially-sharded plans: compile the augmentation as its OWN
-            # batch-only program. A downstream with_sharding_constraint does
-            # not stop the SPMD partitioner from choosing spatial shardings
-            # INSIDE the augmentation, and XLA's partitioner has been observed
-            # to miscompile the rotation warp's gather patterns under spatial
-            # sharding (inf/NaN outputs, key-dependent). Pinning the whole
-            # augment program's outputs to batch-only sharding removes the
-            # spatial axis from its partitioning search entirely, at the cost
-            # of one extra dispatch per iteration (multi-device runs only;
-            # single-chip keeps the fully fused step).
-            aug_fn = jax.jit(augment, out_shardings=plan.batch_sharding)
-            core_fn = jax.jit(train_core, donate_argnums=(0,))
-
-            def _train(state, rng, data_bc, seg_b1, extras):
-                data, targets = aug_fn(rng, data_bc, seg_b1)
-                return core_fn(state, data, targets, extras)
-
-            self._train_step = _train
-        else:
-            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        # the XLA-miscompile fence for spatially-sharded plans lives in ONE
+        # place (mesh.compile_train_step): augmentation compiles as its own
+        # batch-only program when plan.space_axis is set
+        from multitalent_tpu.parallel.mesh import compile_train_step
+        self._train_step = compile_train_step(plan, augment, train_core)
         self._eval_step = jax.jit(eval_step)
 
     def _put_batch(self, arrays):
