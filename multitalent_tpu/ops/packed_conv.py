@@ -170,6 +170,22 @@ def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
     pad = ((kz // 2, kz - 1 - kz // 2),
            (kyp // 2, kyp - 1 - kyp // 2),
            (kxp // 2, kxp - 1 - kxp // 2))
+    pcin = x_packed.shape[-1]
+    if (precision is None and pcin * kz * kyp * kxp <= 64
+            and jax.default_backend() == "tpu"):
+        # Tiny-cin taps (stage-0 block0: P*C_in = 4, K = 12*4 = 48): XLA's
+        # conv lowering crawls at ~7 TFLOP/s here (the MXU K dim is 4/128
+        # occupied per tap). Explicit im2col turns it into ONE [M, 48] x
+        # [48, P*Cout] GEMM; the 12x col blowup of the tiny input (~170 MB
+        # bf16 at the flagship patch) is cheap next to the 6.4 ms/step the
+        # conv costs otherwise (measured ~1.2 s/volume saved, v5e).
+        xpad = jnp.pad(x_packed, ((0, 0), pad[0], pad[1], pad[2], (0, 0)))
+        z, yp_, xp_ = x_packed.shape[1:4]
+        cols = [xpad[:, dz:dz + z, dy:dy + yp_, dx:dx + xp_, :]
+                for dz in range(kz) for dy in range(kyp) for dx in range(kxp)]
+        col = jnp.concatenate(cols, axis=-1)
+        return jnp.einsum("nzyxk,ko->nzyxo", col,
+                          wp.reshape(-1, wp.shape[-1]))
     return lax.conv_general_dilated(
         x_packed, wp, window_strides=(1, 1, 1), padding=pad,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), precision=precision)
@@ -404,10 +420,19 @@ def packed_instance_norm(x_packed: jax.Array, scale: jax.Array,
     c = pc // p
     xg = x_packed.reshape(n, z, yp, xp, p, c)
     x32 = xg.astype(jnp.float32)
-    mean = x32.mean(axis=(1, 2, 3, 4), keepdims=True)
-    var = jnp.square(x32 - mean).mean(axis=(1, 2, 3, 4), keepdims=True)
-    out = (x32 - mean) * lax.rsqrt(var + eps)
-    out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    # single pass: sum and sumsq reduce together (same producer, one fused
+    # sweep) where the mean-then-centered-var form costs TWO full reads of
+    # the activation (2x ~350 ms per flagship volume on v5e, xprof). Post-conv
+    # activations are O(1), so E[x^2] - mean^2 cancellation is benign in f32.
+    s1 = jnp.sum(x32, axis=(1, 2, 3, 4))                         # (N, C)
+    s2 = jnp.sum(x32 * x32, axis=(1, 2, 3, 4))
+    nvox = float(z * yp * xp * p)
+    mean = s1 / nvox
+    var = jnp.maximum(s2 / nvox - mean * mean, 0.0)
+    sc = scale.astype(jnp.float32) * lax.rsqrt(var + eps)        # (N, C)
+    sh = bias.astype(jnp.float32) - mean * sc
+    out = x32 * sc[:, None, None, None, None, :] \
+        + sh[:, None, None, None, None, :]
     # cast before the activation, matching InstanceNorm -> leaky_relu in blocks.py
     out = out.reshape(n, z, yp, xp, pc).astype(x_packed.dtype)
     if negative_slope is not None:

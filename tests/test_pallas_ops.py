@@ -169,10 +169,13 @@ def test_pallas_seghead_d2s_interpret_matches_reference():
                                    atol=2e-4, rtol=1e-3)
 
 
-def test_pallas_conv_affine_prologue_and_stats_interpret():
+def test_pallas_conv_affine_prologue_and_stats_interpret(monkeypatch):
     """Fused normalize-prologue conv: conv(lrelu(x*s+t), w) + bias with
     SAME-zero-pad applied to the NORMALIZED tensor, plus per-sample channel
     sum/sumsq of the output."""
+    # the production MIN_CIN routing gate (32, tuned on v5e) would reject the
+    # small interpret-mode channel counts; this test checks kernel MATH
+    monkeypatch.setenv("MTTPU_PALLAS_MIN_CIN", "1")
     import jax.numpy as jnp
     from jax import lax
     from multitalent_tpu.ops.pallas_conv import pallas_conv3d_same_affine
