@@ -246,30 +246,46 @@ def test_packed_train_forward_grads_match(monkeypatch):
         assert err < 5e-4, (jax.tree_util.keystr(path), err)
 
 
-@pytest.mark.parametrize("combo", [(0,), (1,), (2,), (0, 2), (0, 1, 2)])
-def test_weight_flip_forward_equivalence(combo, monkeypatch):
+def _flip_equivalence_check(combos, pools):
     """Mirror-TTA in the weights: packed_unet_forward(..., flip_combo=axes)
     must equal flip(forward(flip(x))) on those axes — the algebraic identity
     behind the sliding-window engine's flip-free TTA loop (tap-reversed
     kernels + mirrored strided-conv padding, flipped_strided_pads).
     Differences are reduction-order noise only (the norm chain runs fp32)."""
+    import os
     from multitalent_tpu.ops.packed_unet import packed_unet_forward
 
-    monkeypatch.setenv("MTTPU_PACKED_CONV", "1")
-    pools = ((2, 2, 2), (1, 2, 2), (2, 2, 2))
-    model = _unet(pools, base=4)
-    patch = (8, 16, 16)
-    rng = np.random.RandomState(0)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0),
-                                 jnp.zeros((1, *patch, 1)))["params"]
-    x = jnp.asarray(rng.randn(2, *patch, 1).astype(np.float32))
-    axes = [a + 1 for a in combo]
-    fwd = jax.jit(lambda p, v, fc: packed_unet_forward(
-        model, p, v, deep_supervision=False, flip_combo=fc),
-        static_argnames=("fc",))
-    ref = jnp.flip(fwd(params, jnp.flip(x, axes), ()), axes)
-    out = fwd(params, x, tuple(combo))
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+    os.environ["MTTPU_PACKED_CONV"] = "1"
+    try:
+        model = _unet(pools, base=4)
+        patch = (8, 16, 16)
+        rng = np.random.RandomState(0)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, *patch, 1)))["params"]
+        x = jnp.asarray(rng.randn(2, *patch, 1).astype(np.float32))
+        fwd = jax.jit(lambda p, v, fc: packed_unet_forward(
+            model, p, v, deep_supervision=False, flip_combo=fc),
+            static_argnames=("fc",))
+        for combo in combos:
+            axes = [a + 1 for a in combo]
+            ref = jnp.flip(fwd(params, jnp.flip(x, axes), ()), axes)
+            out = fwd(params, x, tuple(combo))
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-3, err_msg=str(combo))
+    finally:
+        os.environ.pop("MTTPU_PACKED_CONV", None)
+
+
+def test_weight_flip_forward_equivalence():
+    # one z-flip (asymmetric strided pads on the unpacked z axis) and the
+    # full 3-axis flip; the remaining combos run in the slow gate
+    _flip_equivalence_check([(0,), (0, 1, 2)], ((2, 2, 2), (1, 2, 2)))
+
+
+@pytest.mark.slow
+def test_weight_flip_forward_equivalence_all_combos():
+    _flip_equivalence_check([(1,), (2,), (0, 1), (0, 2), (1, 2)],
+                            ((2, 2, 2), (1, 2, 2), (2, 2, 2)))
 
 
 def test_engine_weight_flip_matches_activation_flip():
@@ -282,9 +298,9 @@ def test_engine_weight_flip_matches_activation_flip():
 
     os.environ["MTTPU_PACKED_CONV"] = "1"
     try:
-        pools = ((2, 2, 2), (1, 2, 2))
+        pools = ((2, 2, 2),)
         model = _unet(pools, base=8)
-        patch = (8, 16, 16)
+        patch = (8, 8, 8)
         params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                      jnp.zeros((1, *patch, 1)))["params"]
         apply_fn = make_inference_apply_fn(model)
@@ -292,8 +308,8 @@ def test_engine_weight_flip_matches_activation_flip():
         assert getattr(pfn, "supports_weight_flip", False)
         base = dict(patch_size=patch, in_channels=1, num_classes=5,
                     nonlin="sigmoid", step_size=0.5, do_mirroring=True,
-                    use_gaussian=True)
-        vol = np.random.RandomState(7).randn(1, 12, 32, 24).astype(np.float32)
+                    mirror_axes=(0, 2), use_gaussian=True)
+        vol = np.random.RandomState(7).randn(1, 10, 12, 10).astype(np.float32)
         os.environ["MTTPU_SW_FLIPW"] = "0"
         ref = SlidingWindowPredictor(apply_fn, packed_apply=(pfn, pfac),
                                      **base)(params, vol)
