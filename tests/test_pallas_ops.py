@@ -121,6 +121,7 @@ def test_conv3d_same_fast_grads_use_xla_backward():
     np.testing.assert_allclose(gw_r, gw_f, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow  # opt-in kernel (not the production path)
 def test_pallas_conv3d_wino_interpret_matches_lax(monkeypatch):
     """Winograd F(2x2x2,3x3x3) impl vs lax.conv, interpret mode."""
     import jax
@@ -169,6 +170,7 @@ def test_pallas_seghead_d2s_interpret_matches_reference():
                                    atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # opt-in kernel (not the production path)
 def test_pallas_conv_affine_prologue_and_stats_interpret(monkeypatch):
     """Fused normalize-prologue conv: conv(lrelu(x*s+t), w) + bias with
     SAME-zero-pad applied to the NORMALIZED tensor, plus per-sample channel
@@ -219,6 +221,7 @@ def test_pallas_conv_affine_prologue_and_stats_interpret(monkeypatch):
                                    atol=0, rtol=0)
 
 
+@pytest.mark.slow  # opt-in kernel (not the production path)
 def test_fused_inference_forward_matches_packed_forward():
     """packed_unet_forward_fused (conv+norm+lrelu fused in the Pallas kernels,
     interpret mode) vs the unfused packed forward on a small packable UNet."""
@@ -242,6 +245,7 @@ def test_fused_inference_forward_matches_packed_forward():
                                rtol=1e-2)
 
 
+@pytest.mark.slow  # opt-in kernel (not the production path)
 def test_fused_packed_output_matches_unfused(monkeypatch):
     """Fused forward with packed_output=True (the sliding-window engine path)
     vs the unfused packed_output forward, under both stats schedules."""
@@ -268,6 +272,7 @@ def test_fused_packed_output_matches_unfused(monkeypatch):
                                    atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # opt-in kernel (not the production path)
 def test_fused_train_forward_values_and_grads_match_packed():
     """Differentiable fused forward (deep supervision) vs the unfused packed
     forward: values AND parameter gradients of a DS loss must agree."""

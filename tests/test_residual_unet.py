@@ -3,6 +3,7 @@ last norm in each residual block, plans-driven construction."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multitalent_tpu.models.residual_unet import (BasicResidualBlock,
                                                   ResidualEncoderUNet,
@@ -87,32 +88,51 @@ def test_resenc_gradients_flow():
 
 
 def test_mednext_shapes_and_grads():
-    """MedNeXt backbone: 5 DS outputs at dyadic scales, finite gradients."""
+    """MedNeXt backbone: 5 DS outputs at dyadic scales, finite gradients.
+
+    One jitted value_and_grad program: op-by-op dispatch of the deep
+    ConvNeXt stack dominates wall time on the CPU test platform."""
     from multitalent_tpu.models.mednext import MedNeXt
     net = MedNeXt(in_channels=1, n_channels=4, n_classes=3,
                   exp_r=(2,) * 9, block_counts=(1,) * 9, remat=False,
                   dtype=jnp.float32)
     x = jnp.zeros((1, 16, 16, 16, 1))
-    params = net.init(jax.random.PRNGKey(0), x)
-    outs = net.apply(params, x)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def fwd_and_grad(p):
+        outs = net.apply(p, x)
+        single = net.apply(p, x, deep_supervision=False)
+        g = jax.grad(lambda q: sum(jnp.mean(o ** 2) for o in net.apply(q, x)))(p)
+        return outs, single, g
+
+    outs, single, g = fwd_and_grad(params)
     assert len(outs) == 5
     assert outs[0].shape == (1, 16, 16, 16, 3)
     assert outs[4].shape == (1, 1, 1, 1, 3)
-    g = jax.grad(lambda p: sum(jnp.mean(o ** 2) for o in net.apply(p, x)))(params)
     assert all(np.isfinite(l).all() for l in jax.tree.leaves(g))
-    single = net.apply(params, x, deep_supervision=False)
     np.testing.assert_array_equal(np.asarray(single), np.asarray(outs[0]))
 
 
-def test_swin_unetr_shapes_and_grads():
-    """SwinUNETR: shifted-window attention encoder + UNETR decoder."""
+def _swin_net_and_input():
     from multitalent_tpu.models.swin_unetr import SwinUNETR
     net = SwinUNETR(in_channels=1, out_channels=3, feature_size=6,
-                    depths=(1, 1, 1, 1), num_heads=(1, 2, 3, 6), window_size=4,
+                    depths=(1, 1, 1, 1), num_heads=(1, 2, 3, 6), window_size=2,
                     dtype=jnp.float32)
-    x = jnp.zeros((1, 32, 32, 32, 1))
-    params = net.init(jax.random.PRNGKey(0), x)
-    out = net.apply(params, x)
+    return net, jnp.zeros((1, 32, 32, 32, 1))
+
+
+def test_swin_unetr_forward_shapes():
+    """SwinUNETR: shifted-window attention encoder + UNETR decoder."""
+    net, x = _swin_net_and_input()
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(net.apply)(params, x)
     assert out.shape == (1, 32, 32, 32, 3)
-    g = jax.grad(lambda p: jnp.mean(net.apply(p, x) ** 2))(params)
+
+
+@pytest.mark.slow
+def test_swin_unetr_grads_finite():
+    net, x = _swin_net_and_input()
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    g = jax.jit(jax.grad(lambda q: jnp.mean(net.apply(q, x) ** 2)))(params)
     assert all(np.isfinite(l).all() for l in jax.tree.leaves(g))
