@@ -418,23 +418,30 @@ def packed_instance_norm(x_packed: jax.Array, scale: jax.Array,
     p = nphases(factors)
     n, z, yp, xp, pc = x_packed.shape
     c = pc // p
-    xg = x_packed.reshape(n, z, yp, xp, p, c)
-    x32 = xg.astype(jnp.float32)
     # single pass: sum and sumsq reduce together (same producer, one fused
     # sweep) where the mean-then-centered-var form costs TWO full reads of
     # the activation (2x ~350 ms per flagship volume on v5e, xprof). Post-conv
     # activations are O(1), so E[x^2] - mean^2 cancellation is benign in f32.
-    s1 = jnp.sum(x32, axis=(1, 2, 3, 4))                         # (N, C)
-    s2 = jnp.sum(x32 * x32, axis=(1, 2, 3, 4))
+    #
+    # The big tensor is never reshaped: a (.., P, c) split of the packed
+    # channel dim is not lane-tile aligned for c % 128 != 0 and materialized
+    # as a full f32 relayout copy (~0.5 GB per stage-1 site, v5e HLO). Reduce
+    # per PACKED channel first, pool the tiny (N, P*c) stats across phases,
+    # and tile the affine back to packed channels instead.
+    x32 = x_packed.astype(jnp.float32)
+    s1 = jnp.sum(x32, axis=(1, 2, 3))                            # (N, P*c)
+    s2 = jnp.sum(x32 * x32, axis=(1, 2, 3))
     nvox = float(z * yp * xp * p)
-    mean = s1 / nvox
-    var = jnp.maximum(s2 / nvox - mean * mean, 0.0)
+    mean = jnp.sum(s1.reshape(n, p, c), axis=1) / nvox           # (N, C)
+    ex2 = jnp.sum(s2.reshape(n, p, c), axis=1) / nvox
+    var = jnp.maximum(ex2 - mean * mean, 0.0)
     sc = scale.astype(jnp.float32) * lax.rsqrt(var + eps)        # (N, C)
     sh = bias.astype(jnp.float32) - mean * sc
-    out = x32 * sc[:, None, None, None, None, :] \
-        + sh[:, None, None, None, None, :]
+    sc_pc = jnp.tile(sc, (1, p))[:, None, None, None, :]         # (N,1,1,1,PC)
+    sh_pc = jnp.tile(sh, (1, p))[:, None, None, None, :]
+    out = x32 * sc_pc + sh_pc
     # cast before the activation, matching InstanceNorm -> leaky_relu in blocks.py
-    out = out.reshape(n, z, yp, xp, pc).astype(x_packed.dtype)
+    out = out.astype(x_packed.dtype)
     if negative_slope is not None:
         out = _leaky_relu(out, negative_slope)
     return out

@@ -177,6 +177,33 @@ def _conv_kernel(x_ref, w_ref, out_ref, xblk, sems, *, bz, by, bx, c, cout,
             out_ref[0] = out.reshape(bz, by, bx, cout).astype(out_ref.dtype)
 
         pl.run_scoped(body, pltpu.VMEM((bz * by * bx, 27 * c), xblk.dtype))
+    elif impl == "tap3":
+        # Fold the 3 x-taps into the GEMM K dimension: build an
+        # x-concatenated copy of the block ONCE (3 sublane-shifted copies,
+        # one of which — dx=1 at offset 8 — is aligned), then run 9 (dz, dy)
+        # GEMMs of [M, 3c] x [3c, cout]. The plain tap impl's 27 per-tap
+        # slices each carry a sublane rotation (x offsets 7/8/9) whose VPU
+        # cost rivals the 27 small matmuls; this cuts the rotations 9x and
+        # triples the K each MXU weight-load amortizes. Weights arrive
+        # pre-reshaped as [3, 3, 3c, cout] (dx-major, ci-minor — matching
+        # the xcat channel order).
+        def body(acc, xcat):
+            for dx in range(3):
+                xcat[:, :, :, dx * c:(dx + 1) * c] = (
+                    xblk[slot, :, :, dx + 7:dx + 7 + bx, :])
+            acc[:] = jnp.zeros_like(acc)
+            for dz in range(3):
+                for dy in range(3):
+                    xs = xcat[dz:dz + bz, dy:dy + by, :, :]
+                    a2 = xs.reshape(bz * by * bx, 3 * c)
+                    acc[:] += jnp.dot(a2, w_ref[dz, dy, :, :],
+                                      preferred_element_type=jnp.float32)
+            out_ref[0] = acc[:].reshape(bz, by, bx, cout).astype(
+                out_ref.dtype)
+
+        pl.run_scoped(body,
+                      pltpu.VMEM((bz * by * bx, cout), jnp.float32),
+                      pltpu.VMEM((bz + 2, by + 2, bx, 3 * c), xblk.dtype))
     elif impl == "sum":
         # accumulate as one expression: lets Mosaic chain the 27 dots through
         # the MXU accumulator instead of a VMEM read-modify-write per tap
@@ -242,6 +269,11 @@ def _build(n, z, y, x, c, cout, dtype_name, bz, by, bx, interpret=False,
                             + n * z * y * x * cout * 2),
             transcendentals=0),
         interpret=interpret,
+        # tap3's extra [bz+2, by+2, bx, 3c] xcat scratch overflows the 16 MB
+        # default scoped-vmem budget at the widest (C=320->384) stages
+        **({"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)}
+           if impl == "tap3" and not interpret else {}),
     )
 
 
@@ -304,6 +336,9 @@ def pallas_conv3d_same(x, w, *, interpret: bool = False):
         wt = jnp.einsum("au,bv,cw,uvwio->abcio", g, g, g,
                         wp.astype(jnp.float32))
         wp = wt.reshape(64, cp, coutp)
+    elif impl == "tap3":
+        # [3, 3, 3, cp, coutp] -> [3, 3, 3*cp, coutp], dx-major ci-minor
+        wp = wp.reshape(3, 3, 3 * cp, coutp)
     call = _build(n, z, y, xdim, cp, coutp, str(x.dtype), bz, by, bx,
                   interpret, impl)
     out = call(xpad, wp.astype(x.dtype))

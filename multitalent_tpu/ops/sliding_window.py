@@ -201,28 +201,47 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         ever flips and every combo's probabilities land directly in the tile
         frame. Replaces the flip/stack/unflip machinery of _chunk_contrib
         (~1.5 s/volume of lax.rev on the full-res probability tensors plus
-        the flipped input stacks, v5e xprof)."""
+        the flipped input stacks, v5e xprof).
+
+        The running TTA sum is held in f16 (f32 in `exact` mode): the 8
+        read+write sweeps of the full-res sum are pure HBM traffic, and a sum
+        of <=8 probabilities in [0,1] carries ~1e-3 relative f16 noise — the
+        same trade the fp16 accumulators (and the reference's all_in_gpu
+        mode) already make downstream."""
+        sum_dtype = jnp.float32 if exact else jnp.float16
         total = None
         for combo in combos:
             probs = _apply_nonlin(apply_fn(params, tiles, combo))
-            u = probs.astype(jnp.float32)
+            u = probs.astype(sum_dtype)
             total = u if total is None else total + u
-        return total
+        return total  # f16: the contrib multiply upconverts in-register
 
     def _accumulate_tiles_flipw(acc, cnt, params, padded_volume, coords,
-                                weights):
-        """TB tiles x full TTA with one RMW per tile per accumulator."""
+                                weights, aligned8=False):
+        """TB tiles x full TTA with one RMW per tile per accumulator.
+
+        aligned8 (static, set by run() after checking the actual step grid):
+        every packed y/x tile offset is a multiple of 8, so offsets pass
+        through (v // 8) * 8 — value-identical, but the explicit multiply
+        lets XLA's alignment analysis prove sublane alignment. A
+        dynamic-update-slice with unprovable offsets takes a slow
+        whole-row path (~10 ms vs ~1 ms per accumulator RMW on the
+        flagship volume, v5e xprof)."""
+        def hint8(v):
+            return (v // 8) * 8 if aligned8 else v
+
         tb = coords.shape[0]
         tiles = jnp.stack([
             jax.lax.dynamic_slice(padded_volume,
-                                  (coords[t, 0], coords[t, 1], coords[t, 2],
+                                  (coords[t, 0], hint8(coords[t, 1]),
+                                   hint8(coords[t, 2]),
                                    0), (*patch, in_channels))
             for t in range(tb)])
         total = _tiles_total_flipw(params, tiles)
         gauss_b = (gauss_div[..., None] if nph > 1 else gauss_div)
         for t in range(tb):
-            zp, yp, xp = (coords[t, 0], coords[t, 1] // fy,
-                          coords[t, 2] // fx)
+            zp, yp, xp = (coords[t, 0], hint8(coords[t, 1] // fy),
+                          hint8(coords[t, 2] // fx))
             ms = (total[t].reshape(patch_p + (nph, num_classes))
                   if nph > 1 else total[t])
             contrib = (ms * (gauss_b * weights[t])).reshape(
@@ -314,7 +333,7 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
 
     _loop_fns: dict = {}
 
-    def _get_loop_fn(n_padded: int):
+    def _get_loop_fn(n_padded: int, aligned8: bool = False):
         """Whole-volume single-dispatch program: fori_loop over a padded
         coords buffer, all TTA chunks unrolled inside the body. One dispatch
         covers every tile — on tunnelled TPUs the per-dispatch round-trip
@@ -323,7 +342,7 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         compilations serve all volumes of one padded shape. In
         flip_in_weights mode the body batches TILES (the combo loop runs
         per-combo forwards with mirrored weights), tile_batch per step."""
-        if n_padded not in _loop_fns:
+        if (n_padded, aligned8) not in _loop_fns:
             if flip_in_weights:
                 tb = max(1, min(int(tta_chunk),
                                 int(os.environ.get("MTTPU_SW_TILE_BATCH",
@@ -339,7 +358,7 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
                         acc, cnt = carry
                         return _accumulate_tiles_flipw(
                             acc, cnt, params, padded_volume, groups[i],
-                            wgroups[i])
+                            wgroups[i], aligned8=aligned8)
 
                     return jax.lax.fori_loop(0, groups.shape[0], body,
                                              (acc, cnt))
@@ -358,8 +377,8 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
 
                     return jax.lax.fori_loop(0, n_padded, body, (acc, cnt))
 
-            _loop_fns[n_padded] = run_loop
-        return _loop_fns[n_padded]
+            _loop_fns[(n_padded, aligned8)] = run_loop
+        return _loop_fns[(n_padded, aligned8)]
 
     def _blend(acc, cnt):
         """acc / cnt in packed space -> full-res (Z, Y, X, K) fp32 probs."""
@@ -440,7 +459,21 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
                 [coords_host, np.repeat(coords_host[-1:], n_padded - n, 0)])
             weights_pad = np.zeros(n_padded, np.float32)
             weights_pad[:n] = 1.0
-            acc, cnt = _get_loop_fn(n_padded)(
+            aligned8 = bool(
+                flip_in_weights
+                and np.all(coords_host[:, 1] // fy % 8 == 0)
+                and np.all(coords_host[:, 2] // fx % 8 == 0))
+            loop_fn = _get_loop_fn(n_padded, aligned8)
+            dump = os.environ.get("MTTPU_SW_DUMP_HLO")
+            if dump:
+                # dev hook: the axon relay ignores --xla_dump_to, but the
+                # compiled executable's optimized HLO is still retrievable
+                with open(dump, "w") as f:
+                    f.write(loop_fn.lower(
+                        acc, cnt, params, padded_volume,
+                        np.ascontiguousarray(coords_pad),
+                        weights_pad).compile().as_text())
+            acc, cnt = loop_fn(
                 acc, cnt, params, padded_volume,
                 np.ascontiguousarray(coords_pad), weights_pad)
         else:

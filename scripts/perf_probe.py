@@ -50,7 +50,7 @@ def probe_impls():
             xv = f(xv, wv)
         return xv
 
-    for impl in ("tap", "wino", "sum", "im2col"):
+    for impl in ("tap", "tap3", "wino", "sum", "im2col"):
         os.environ["MTTPU_PALLAS_CONV_IMPL"] = impl
         pcv._build.cache_clear()
         f = jax.jit(lambda a, b: chained(a, b, pcv.pallas_conv3d_same))

@@ -316,9 +316,16 @@ def test_packed_accumulation_matches_plain():
                                           **base)(params, vol_odd)
         np.testing.assert_allclose(packed_o, plain_o, atol=2e-3)
 
-        # bit-packed threshold export agrees too
+        # bit-packed threshold export agrees wherever the probability is not
+        # within accumulator precision of the 0.5 threshold: the packed
+        # engine's f16 TTA sum (the same trade the reference's all_in_gpu
+        # fp16 mode makes) may flip bits for probs within ~1e-3 of 0.5 —
+        # plentiful on white-noise inputs, measure-zero on real volumes
         pp = SlidingWindowPredictor(apply_fn, packed_apply=(pfn, pfac), **base)
         masks = pp.predict_regions_packed(params, vol)
-        np.testing.assert_array_equal(masks, np.asarray(plain) > 0.5)
+        plain_np = np.asarray(plain, np.float32)
+        decided = np.abs(plain_np - 0.5) > 2e-3
+        np.testing.assert_array_equal(masks[decided], (plain_np > 0.5)[decided])
+        assert decided.mean() > 0.95  # the check must still cover the volume
     finally:
         os.environ.pop("MTTPU_PACKED_CONV", None)
