@@ -261,10 +261,11 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
     def _chunk_contrib(params, tile, chunk_combos):
         """One TTA chunk of one tile: batched flipped forward -> probabilities
         unflipped back to tile frame and summed over the chunk in fp32. No
-        accumulator traffic here."""
-        pad = chunk - len(chunk_combos)
-        batch = jnp.stack([flip_static(tile, c) for c in chunk_combos]
-                          + [tile] * pad)
+        accumulator traffic here. The tail chunk runs at its NATURAL batch
+        size: the chunks are unrolled in one program anyway, so the second
+        batch shape only costs one extra trace of apply_fn while identity
+        padding would run a dead forward whose probabilities are discarded."""
+        batch = jnp.stack([flip_static(tile, c) for c in chunk_combos])
         # probabilities held in bf16 (fp32 in `exact` mode): halves the live
         # prob buffers so a larger TTA batch fits; the reference's all_in_gpu
         # mode makes the same precision trade with fp16

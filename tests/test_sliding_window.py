@@ -124,6 +124,31 @@ def test_tiled_predictor_mirror_tta_symmetric_model():
     np.testing.assert_allclose(with_tta, without, atol=5e-3)
 
 
+def test_uneven_tta_chunk_split_matches_even():
+    """tta_chunk=3 over 8 mirror combos (chunks 3+3+2: a short NATURAL-size
+    tail chunk) must match tta_chunk=4 (even 4+4 split). Uses a spatially
+    asymmetric conv model so each flip combo genuinely contributes a
+    different prediction (a voxelwise model would hide tail-chunk bugs)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    w = jnp.asarray(np.random.RandomState(7).randn(3, 3, 3, 1, 2)
+                    .astype(np.float32))
+
+    def apply_fn(params, batch):
+        return lax.conv_general_dilated(
+            batch.astype(params.dtype), params, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    base = dict(patch_size=(8, 8, 8), in_channels=1, num_classes=2,
+                nonlin="sigmoid", step_size=0.5, do_mirroring=True,
+                mirror_axes=(0, 1, 2), use_gaussian=True)
+    vol = np.random.RandomState(8).randn(1, 10, 12, 10).astype(np.float32)
+    out3 = SlidingWindowPredictor(apply_fn, tta_chunk=3, **base)(w, vol)
+    out4 = SlidingWindowPredictor(apply_fn, tta_chunk=4, **base)(w, vol)
+    np.testing.assert_allclose(out3, out4, atol=5e-3)
+
+
 def test_segmentation_from_probabilities():
     probs = np.zeros((3, 2, 2, 2), np.float32)
     probs[1, 0] = 0.9
