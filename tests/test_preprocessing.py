@@ -160,3 +160,61 @@ def test_preprocess_test_case_end_to_end(tmp_path):
     assert d.dtype == np.float32
     assert 1.0 in np.unique(s)
     assert props["crop_bbox"][0] == [2, 14]
+
+
+# ---- reference-anchored golden fixtures (VERDICT r2 #6) -----------------------
+# Generated once by scripts/gen_resample_golden.py: a LITERAL transcription of
+# the reference's resample_patient/resample_data_or_seg control flow
+# (preprocessing.py:38-197 — per-slice loops, per-slice skimage clip, per-slice
+# float32 casts) built only on scipy, standing in for the skimage calls this
+# environment cannot import. Pins the production separable implementation to
+# the reference algorithm's recorded numbers, including the separate-z
+# anisotropic paths and the full crop->resample->CT-normalize pipeline.
+
+def _golden():
+    import os
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "resample_golden.npz")
+    return np.load(path)
+
+
+@pytest.mark.parametrize("case", ["iso", "sepz_down", "sepz_up", "sepz_axis2",
+                                  "sepz_zorder1"])
+def test_resample_patient_matches_reference_golden(case):
+    g = _golden()
+    meta = g[f"{case}__meta"]
+    fsz = None if meta[8] == -1 else bool(meta[8])
+    d, s = resample_patient(
+        g[f"{case}__in_data"], g[f"{case}__in_seg"],
+        tuple(meta[0:3]), tuple(meta[3:6]),
+        order_data=int(meta[6]), order_seg=int(meta[7]),
+        force_separate_z=fsz, order_z_data=int(meta[9]),
+        order_z_seg=int(meta[10]))
+    np.testing.assert_allclose(d, g[f"{case}__out_data"], atol=1e-5)
+    np.testing.assert_array_equal(s, g[f"{case}__out_seg"])
+
+
+def test_preprocess_test_case_matches_reference_golden(tmp_path):
+    """Full pipeline golden: crop_to_nonzero -> separate-z resample (order 3
+    in-plane / order 0 along z, order_seg 1) -> CT clip+z-score, against the
+    transcription's recorded output (MultiTalent preprocessing configuration)."""
+    g = _golden()
+    raw, rawseg = g["tc__in_data"][0], g["tc__in_seg"][0]
+    # golden arrays are (z, y, x); Geometry spacing is (x, y, z)
+    write_nifti(tmp_path / "tc_0000.nii.gz", raw,
+                Geometry(spacing=(1.0, 1.0, 3.5)))
+    write_nifti(tmp_path / "tc.nii.gz", rawseg,
+                Geometry(spacing=(1.0, 1.0, 3.5)))
+    pp = GenericPreprocessor(
+        normalization_scheme_per_modality={0: "CT"},
+        use_nonzero_mask={0: False},
+        transpose_forward=[0, 1, 2],
+        intensityproperties={0: {"percentile_00_5": -30.0,
+                                 "percentile_99_5": 150.0,
+                                 "mean": 40.0, "sd": 30.0}})
+    d, s, props = pp.preprocess_test_case(
+        [str(tmp_path / "tc_0000.nii.gz")], target_spacing=(1.75, 1.0, 1.0),
+        seg_file=str(tmp_path / "tc.nii.gz"))
+    assert [list(b) for b in props["crop_bbox"]] == g["tc__bbox"].tolist()
+    np.testing.assert_allclose(d, g["tc__out_data"], atol=1e-5)
+    np.testing.assert_array_equal(s, g["tc__out_seg"])
