@@ -175,7 +175,15 @@ def aggregate_scores(test_ref_pairs, evaluator=NiftiEvaluator, labels=None,
         evaluator.advanced_metrics = list(ADVANCED_METRICS)
 
     all_scores = {"all": [], "mean": {}}
-    jobs = [(t, r, evaluator, metric_kwargs) for t, r in test_ref_pairs]
+    # Each job gets its OWN evaluator: run_evaluation mutates it
+    # (set_test/set_reference/confusion_matrix), and process_pool degrades to a
+    # thread pool once a JAX backend exists — a shared instance then races and
+    # can score a case against another case's arrays (observed: gt-vs-gt
+    # perfect scores flipping a CV mean nondeterministically). The reference's
+    # process Pool got per-worker copies for free by pickling.
+    import copy
+    jobs = [(t, r, copy.deepcopy(evaluator), metric_kwargs)
+            for t, r in test_ref_pairs]
     if num_threads <= 1 or len(jobs) <= 1:
         all_res = [run_evaluation(j) for j in jobs]
     else:

@@ -123,27 +123,35 @@ def resample_data_or_seg(data: np.ndarray, new_shape, is_seg: bool, axis=None, o
     else:
         ax = None
 
-    def _resize_one(vol: np.ndarray) -> np.ndarray:
+    def _resize_one(vol: np.ndarray, quantize: bool = True) -> np.ndarray:
         if ax is None:
             return _resize_nd(vol, new_shape, order)
         inplane_shape = list(new_shape)
         inplane_shape[ax] = vol.shape[ax]  # keep lowres axis, resize in-plane first
         out = _resize_nd(vol, inplane_shape, order, clip=False)
-        if order > 1 and list(inplane_shape) != list(vol.shape):
+        inplane_changed = list(inplane_shape) != list(vol.shape)
+        if order > 1 and inplane_changed:
             # the reference resizes in-plane SLICE BY SLICE with skimage's
             # clip=True, i.e. each slice clips to its OWN range — not the 3-D
             # volume's (preprocessing.py:147-152; measured 2.9% rel max diff
             # on an upsampled-in-plane case when clipping volume-wide). The
             # lowres axis is untouched at this point, so slice i of the
             # output only draws on slice i of the input and the per-slice
-            # bounds apply exactly. It also casts each slice to the data
-            # dtype (float32) before the z-pass; reproduce the quantization.
+            # bounds apply exactly.
             v = np.moveaxis(np.asarray(vol, np.float64), ax, 0)
             red = tuple(range(1, v.ndim))
             lo, hi = v.min(axis=red), v.max(axis=red)
             shp = [1] * out.ndim
             shp[ax] = out.shape[ax]
             out = np.clip(out, lo.reshape(shp), hi.reshape(shp))
+        if quantize and inplane_changed:
+            # The reference also casts each in-plane-resized slice to the data
+            # dtype (float32) before the z-pass, for every order
+            # (preprocessing.py:147-155); reproduce the quantization — but only
+            # on the DATA path: the seg path here resizes float per-label
+            # INDICATORS in [0, 1), and casting those to an integer seg dtype
+            # would truncate them to 0 before the >=0.5 stamp (the reference
+            # casts the already-stamped label map, never an indicator).
             out = out.astype(dtype_data, copy=False).astype(np.float64)
         return _resize_lowres_axis(out, ax, int(new_shape[ax]), order_z)
 
@@ -156,7 +164,7 @@ def resample_data_or_seg(data: np.ndarray, new_shape, is_seg: bool, axis=None, o
                 unique_labels = np.unique(data[c])
                 reshaped = np.zeros(tuple(int(s) for s in new_shape), dtype=np.float64)
                 for cl in unique_labels:
-                    ind = _resize_one((data[c] == cl).astype(np.float64))
+                    ind = _resize_one((data[c] == cl).astype(np.float64), quantize=False)
                     reshaped[ind >= 0.5] = cl
                 out_channels.append(reshaped)
         else:

@@ -98,6 +98,43 @@ def test_evaluator_and_aggregate(tmp_path):
     assert (tmp_path / "summary.json").exists()
 
 
+def test_aggregate_scores_threaded_no_shared_evaluator(tmp_path, monkeypatch):
+    """Regression: aggregate_scores used to hand the SAME Evaluator instance to
+    every pool worker; under the thread-pool fallback (active once a JAX
+    backend exists) concurrent set_test/set_reference raced and a case could be
+    scored against another case's arrays. Force the thread pool and check every
+    case's per-case Dice is the one its own pair implies."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from multitalent_tpu.evaluation import evaluator as ev
+
+    monkeypatch.setattr(ev, "process_pool",
+                        lambda n: ThreadPoolExecutor(max_workers=n))
+    shape = (8, 8, 8)
+    g = Geometry()
+    pairs = []
+    expected = {}
+    gt = np.zeros(shape, np.uint8)
+    gt[2:6, 2:6, 2:6] = 1  # 64 voxels
+    for i in range(8):
+        pred = np.zeros(shape, np.uint8)
+        pred[2:6, 2:6, 2:6] = 1
+        # erode i voxels -> per-case dice 2*(64-i)/(128-i), all distinct
+        idx = np.argwhere(pred == 1)[:i]
+        if i:
+            pred[tuple(idx.T)] = 0
+        write_nifti(tmp_path / "gt" / f"c{i}.nii.gz", gt, g)
+        write_nifti(tmp_path / "pred" / f"c{i}.nii.gz", pred, g)
+        t = str(tmp_path / "pred" / f"c{i}.nii.gz")
+        r = str(tmp_path / "gt" / f"c{i}.nii.gz")
+        pairs.append((t, r))
+        expected[t] = 2 * (64 - i) / (128 - i)
+    for _ in range(3):  # racy bug reproduced within a try or two pre-fix
+        scores = ev.aggregate_scores(pairs, labels=[1], num_threads=4)
+        for case in scores["all"]:
+            assert np.isclose(case["1"]["Dice"], expected[case["test"]])
+
+
 def test_surface_metrics():
     from multitalent_tpu.evaluation.metrics import (avg_surface_distance,
                                                     hausdorff_distance,

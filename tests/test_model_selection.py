@@ -39,9 +39,16 @@ def _softmax_for(seg: np.ndarray, correct: float) -> np.ndarray:
     return probs
 
 
-def _write_validation(model_dir: str, cases, quality: dict[int, float]):
+def _write_validation(model_dir: str, cases, quality: dict[int, float],
+                      confidence: float = 0.9):
     """fold_0/validation_raw with predictions whose per-class quality is
-    controlled by flipping a block of voxels to the wrong label."""
+    controlled by flipping a block of voxels to the wrong label.
+
+    `confidence` is the softmax mass on the predicted class. The two models in
+    the find_best_configuration test use DIFFERENT confidences (0.9 vs 0.8) so
+    the ensemble average has no exact argmax ties on disputed voxels — with
+    equal confidences a disputed voxel ties 0.475/0.475 and argmax tie-breaking
+    lands on background, making `2d <= ensemble` false in general."""
     vdir = os.path.join(model_dir, "fold_0", "validation_raw")
     os.makedirs(vdir, exist_ok=True)
     g = Geometry()
@@ -54,8 +61,9 @@ def _write_validation(model_dir: str, cases, quality: dict[int, float]):
             idx = np.argwhere(pred == 1)[:n_wrong]
             pred[tuple(idx.T)] = 0
         write_nifti(os.path.join(vdir, f"case{i}.nii.gz"), pred, g)
-        np.savez_compressed(os.path.join(vdir, f"case{i}.npz"),
-                            softmax=_softmax_for(pred, 0.9).astype(np.float16))
+        np.savez_compressed(
+            os.path.join(vdir, f"case{i}.npz"),
+            softmax=_softmax_for(pred, confidence).astype(np.float16))
         save_pickle(full_properties(SHAPE),
                     os.path.join(vdir, f"case{i}.pkl"))
 
@@ -83,8 +91,12 @@ def test_find_best_configuration_picks_winner(tmp_path, monkeypatch, capsys):
     # 3d_fullres: perfect predictions; 2d: degraded class-1 predictions
     good = os.path.join(base, "3d_fullres", TASK, TRAINER_DIR)
     bad = os.path.join(base, "2d", TASK, TRAINER_DIR)
-    _write_validation(good, range(3), {i: 0 for i in range(3)})
-    _write_validation(bad, range(3), {i: 12 for i in range(3)})
+    # asymmetric confidences: on voxels where the models disagree, the good
+    # model's 0.9 beats the bad model's 0.8 in the softmax mean, so the
+    # ensemble argmax equals the good prediction everywhere by construction
+    # (no 0.475/0.475 background ties) and 2d <= ensemble <= 3d_fullres holds.
+    _write_validation(good, range(3), {i: 0 for i in range(3)}, confidence=0.9)
+    _write_validation(bad, range(3), {i: 12 for i in range(3)}, confidence=0.8)
 
     fbc_main(["-t", TASK, "-f", "0", "-m", "2d", "3d_fullres"])
 
