@@ -140,7 +140,8 @@ def pack_conv_weights(w: jax.Array, factors=(F, F),
 
 
 def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
-                  precision=None, in_groups=None) -> jax.Array:
+                  precision=None, in_groups=None,
+                  sparse: bool = False) -> jax.Array:
     """Stride-1 SAME conv on a packed tensor. `w` is canonical
     (kz, ky, kx, Cin, Cout); x_packed is (N, Z, Y', X', P*Cin).
     Equals space_to_depth(conv3d_same(depth_to_space(x), w)).
@@ -149,9 +150,23 @@ def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
 
     3x3x3 packed kernels route through the Pallas tap-GEMM conv when enabled
     (ops/pallas_conv.py: 118.7 vs 82.7 TFLOP/s on v5e at C=120); backward
-    stays on XLA's conv via custom_vjp."""
+    stays on XLA's conv via custom_vjp.
+
+    sparse=True (inference-only, no grad support): route through the merged
+    block-sparse tap kernel (ops/pallas_sparse_conv.py) — 12 GEMMs instead of
+    27 for (2,2) packing, 18 for (1,2) — when enabled and the shape fits."""
     import os
     kz = w.shape[0]
+    if (sparse and kz == 3 and w.shape[1:3] == (3, 3) and precision is None
+            and tuple(factors) in ((2, 2), (1, 2))):
+        from multitalent_tpu.ops.pallas_sparse_conv import (
+            pallas_packed_conv3d_sparse, sparse_conv_enabled)
+        if sparse_conv_enabled():
+            try:
+                return pallas_packed_conv3d_sparse(
+                    x_packed, w, factors=tuple(factors), in_groups=in_groups)
+            except ValueError:
+                pass  # unsupported shape: fall through to the dense path
     wp = pack_conv_weights(w, factors, in_groups)
     kyp, kxp = wp.shape[1], wp.shape[2]
     # Tiny input channel counts (stage-0 block0: P*C_in = 4) waste the

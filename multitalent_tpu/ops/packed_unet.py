@@ -74,14 +74,15 @@ def _instance_norm_lrelu(x, scale, bias, negative_slope=1e-2, eps=1e-5):
 
 
 def _block(x, p, *, strides=(1, 1, 1), negative_slope, dtype,
-           factors=UNPACKED, in_groups=None, pads=None):
+           factors=UNPACKED, in_groups=None, pads=None, sparse=False):
     """One ConvNormAct block (conv + bias -> InstanceNorm -> LeakyReLU)."""
     w, b = p["conv"]["kernel"], p["conv"]["bias"]
     ns, nb = p["norm"]["scale"], p["norm"]["bias"]
     if factors != UNPACKED:
         assert strides == (1, 1, 1)
         out = pc.packed_conv3d(x.astype(dtype), w.astype(dtype),
-                               factors=factors, in_groups=in_groups)
+                               factors=factors, in_groups=in_groups,
+                               sparse=sparse)
         out = out + jnp.tile(b.astype(dtype), pc.nphases(factors))
         return pc.packed_instance_norm(out, ns, nb, factors=factors,
                                        negative_slope=negative_slope)
@@ -152,7 +153,8 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                         deep_supervision: bool = False,
                         pack_max_channels: int = 128,
                         packed_output: bool = False,
-                        flip_combo: tuple[int, ...] = ()):
+                        flip_combo: tuple[int, ...] = (),
+                        sparse: bool = False):
     """Forward pass equal to model.apply({'params': params}, x,
     deep_supervision=...) but with the leading stages executed packed.
 
@@ -239,7 +241,7 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                                    bp["conv"]["kernel"].shape[:3], stride))
             else:
                 x = _block(x, bp, negative_slope=slope, dtype=dtype,
-                           factors=cur)
+                           factors=cur, sparse=sparse)
         if d < num_pool:
             skips.append(x)
 
@@ -276,7 +278,7 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
             x = _block(x, params[f"dec{u}"][f"block{i}"], negative_slope=slope,
                        dtype=dtype, factors=cur,
                        in_groups=groups if (i == 0 and cur != UNPACKED)
-                       else None)
+                       else None, sparse=sparse)
         # seg head
         if deep_supervision or u == num_pool - 1:
             hp = params[f"seg{u}"]
@@ -365,7 +367,8 @@ def make_packed_inference_apply_fn(model, patch_size):
                                      deep_supervision=False,
                                      pack_max_channels=pmc,
                                      packed_output=True,
-                                     flip_combo=tuple(flip))
+                                     flip_combo=tuple(flip),
+                                     sparse=True)
         assert f == factors, (f, factors)
         return out
 
@@ -645,7 +648,7 @@ def make_inference_apply_fn(model):
                     pass  # shape outside the kernels' block grid
             return packed_unet_forward(model, params, batch,
                                        deep_supervision=False,
-                                       pack_max_channels=pmc)
+                                       pack_max_channels=pmc, sparse=True)
         return apply_fn
 
     def apply_fn(params, batch):

@@ -345,9 +345,11 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         per-combo forwards with mirrored weights), tile_batch per step."""
         if (n_padded, aligned8) not in _loop_fns:
             if flip_in_weights:
-                tb = max(1, min(int(tta_chunk),
-                                int(os.environ.get("MTTPU_SW_TILE_BATCH",
-                                                   "2"))))
+                # in flipw mode the runner's tta_chunk argument IS the tile
+                # batch (combos run sequentially with mirrored weights; the
+                # batch dim carries tiles) — sized by the caller's
+                # _tile_batch_fitting_memory + OOM backoff
+                tb = max(1, int(tta_chunk))
 
                 @partial(jax.jit, donate_argnums=(0, 1))
                 def run_loop(acc, cnt, params, padded_volume, coords_pad,
@@ -569,6 +571,33 @@ class SlidingWindowPredictor:
         # as the reference's all_in_gpu, neural_network.py:338-364)
         self.exact = bool(exact)
 
+    def _tile_batch_fitting_memory(self, padded_shape) -> int:
+        """Largest flipw TILE batch fitting HBM (estimate; runtime OOM
+        back-off is the safety net). The flipw working set differs from the
+        combo-batch path: per tile one f16 TTA sum + bf16 probs/logits at
+        num_classes width plus ~5 live bf16 packed feature maps (~300 B/voxel
+        at the flagship's C=120-128 stages); fixed costs are the f16
+        accumulators + the f16 volume."""
+        import jax
+        dev = self.device or jax.devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        hbm = (stats or {}).get("bytes_limit", 16 * 2 ** 30)
+        budget = 0.8 * hbm
+        vol_vox = float(np.prod(padded_shape))
+        patch_vox = float(np.prod(self.patch_size))
+        fixed = vol_vox * (self.num_classes * 2 + 2 + self.in_channels * 2)
+        tb = max(1, min(int(os.environ.get("MTTPU_SW_TILE_BATCH", "4")), 8))
+        while tb > 1:
+            # ~700 B/voxel of live activations measured on v5e: tb=4 at the
+            # (256,320,320)x47 bench volume RESOURCE_EXHAUSTs a 16 GB chip
+            # (the runtime back-off caught it; each failed attempt costs a
+            # multi-minute relay recompile, so the model errs conservative)
+            work = tb * patch_vox * (self.num_classes * 2 * 3 + 700)
+            if fixed + work <= budget:
+                break
+            tb //= 2
+        return tb
+
     def _chunk_fitting_memory(self, padded_shape) -> int:
         """Largest TTA chunk whose accumulators + working set fit the device HBM
         (estimate; the runtime back-off below remains as the safety net)."""
@@ -665,7 +694,16 @@ class SlidingWindowPredictor:
                 # batch. Default on when the apply fn supports it.
                 flipw = (getattr(apply_id.fn, "supports_weight_flip", False)
                          and os.environ.get("MTTPU_SW_FLIPW", "1") != "0")
-        chunk = min(self.tta_chunk, self._chunk_fitting_memory(padded.shape[:-1]))
+        if flipw:
+            # flipw's batch dim carries TILES, not TTA combos — sized by its
+            # own memory model (and persisted separately from tta_chunk)
+            chunk = self._tile_batch_fitting_memory(padded.shape[:-1])
+            prev = getattr(self, "_flipw_tile_batch", None)
+            if prev is not None:
+                chunk = min(chunk, prev)
+        else:
+            chunk = min(self.tta_chunk,
+                        self._chunk_fitting_memory(padded.shape[:-1]))
         while True:
             runner = _make_tiled_runner(
                 apply_id, self.patch_size, self.in_channels,
@@ -675,7 +713,11 @@ class SlidingWindowPredictor:
             try:
                 probs = runner(params, vol_dev, coords, devices=self.devices,
                                pack_threshold=pack_threshold)
-                self.tta_chunk = chunk  # persist: don't re-attempt the OOM size
+                # persist: don't re-attempt the OOM size
+                if flipw:
+                    self._flipw_tile_batch = chunk
+                else:
+                    self.tta_chunk = chunk
                 break
             except Exception as e:
                 # HBM exhaustion at large volumes: halve the TTA batch. Only

@@ -68,7 +68,12 @@ def main():
         t0 = time.time()
         try:
             predictor, params = build_predictor(dev)
-            out, _ = predictor.predict_to_device(params, vol,
+            # one put per arm, reused across rounds: the ~52 MB f16 volume
+            # transfer over the relay (~4-6 s) would otherwise be timed inside
+            # every round, swamping chip-side A/B deltas (bench.py pipelines
+            # this transfer; here we exclude it entirely)
+            preput = predictor.begin_put(vol)
+            out, _ = predictor.predict_to_device(params, preput=preput,
                                                  pack_threshold=0.5)
             jax.block_until_ready(out)
         except Exception as e:  # a crashed arm must not kill the others
@@ -77,16 +82,16 @@ def main():
             continue
         print(f"# arm {name}: warmup (compile+run) {time.time()-t0:.1f} s",
               flush=True)
-        built.append((name, env, predictor, params))
+        built.append((name, env, predictor, params, preput))
     os.environ.clear()
     os.environ.update(base_env)
 
     times = {name: [] for name, *_ in built}
     for r in range(rounds):
-        for name, env, predictor, params in built:
+        for name, env, predictor, params, preput in built:
             os.environ.update(env)  # harmless post-compile; matches trace env
             t0 = time.time()
-            out, _ = predictor.predict_to_device(params, vol,
+            out, _ = predictor.predict_to_device(params, preput=preput,
                                                  pack_threshold=0.5)
             jax.block_until_ready(out)
             dt = time.time() - t0
