@@ -139,6 +139,80 @@ def pack_conv_weights(w: jax.Array, factors=(F, F),
     return wp
 
 
+def prepare_packed_conv3d(w: jax.Array, x_shape, *, factors=(F, F),
+                          in_groups=None, sparse: bool = False):
+    """Precompute the weight-derived arrays packed_conv3d needs for an input
+    of `x_shape`, choosing the same execution path packed_conv3d would.
+
+    Returns an opaque dict for apply_packed_conv3d. Callers running inside a
+    device tile loop (the sliding-window engine) MUST do this outside the
+    loop body: the packed-weight scatter builds compile to kLoop fusions that
+    XLA re-executes every iteration when left in the body (~2.5 s of a 19 s
+    bench volume, xprof round 4); XLA's while-loop passes sink rather than
+    hoist them."""
+    import os
+    kz, ky, kx = w.shape[:3]
+    pcin = int(x_shape[-1])
+    if (sparse and kz == 3 and w.shape[1:3] == (3, 3)
+            and tuple(factors) in ((2, 2), (1, 2))):
+        from multitalent_tpu.ops import pallas_sparse_conv as psc
+        if psc.sparse_conv_enabled():
+            blocks = psc._pick_blocks(int(x_shape[1]), int(x_shape[2]),
+                                      int(x_shape[3]))
+            if blocks is not None and jax.default_backend() == "tpu":
+                p = nphases(factors)
+                cpp = psc._cpp(w.shape[3])
+                return {"kind": "sparse", "factors": tuple(factors),
+                        "in_groups": in_groups, "cin": w.shape[3],
+                        "wts": psc._sparse_weights(w, tuple(factors), cpp,
+                                                   in_groups)}
+    wp = pack_conv_weights(w, factors, in_groups)
+    kyp, kxp = wp.shape[1], wp.shape[2]
+    min_cin = int(os.environ.get("MTTPU_PALLAS_MIN_CIN", "32"))
+    if (kz == 3 and (kyp, kxp) == (3, 3) and pcin >= min_cin):
+        from multitalent_tpu.ops.pallas_conv import pallas_conv_enabled
+        if pallas_conv_enabled():
+            return {"kind": "pallas", "wp": wp}
+    pad = ((kz // 2, kz - 1 - kz // 2),
+           (kyp // 2, kyp - 1 - kyp // 2),
+           (kxp // 2, kxp - 1 - kxp // 2))
+    if pcin * kz * kyp * kxp <= 64 and jax.default_backend() == "tpu":
+        return {"kind": "im2col", "pad": pad, "kzyx": (kz, kyp, kxp),
+                "wcol": wp.reshape(-1, wp.shape[-1])}
+    return {"kind": "conv", "pad": pad, "wp": wp}
+
+
+def apply_packed_conv3d(x_packed: jax.Array, prepared: dict) -> jax.Array:
+    """Run packed_conv3d from prepare_packed_conv3d's arrays (weight
+    transforms already materialized)."""
+    kind = prepared["kind"]
+    if kind == "sparse":
+        from multitalent_tpu.ops import pallas_sparse_conv as psc
+        try:
+            return psc.pallas_packed_conv3d_sparse(
+                x_packed, None, factors=prepared["factors"],
+                in_groups=prepared["in_groups"], cin=prepared["cin"],
+                prepared_weights=prepared["wts"])
+        except ValueError:
+            raise AssertionError("prepare/apply shape mismatch")
+    if kind == "pallas":
+        from multitalent_tpu.ops.pallas_conv import conv3d_same_fast
+        return conv3d_same_fast(x_packed, prepared["wp"])
+    if kind == "im2col":
+        kz, kyp, kxp = prepared["kzyx"]
+        pad = prepared["pad"]
+        xpad = jnp.pad(x_packed, ((0, 0), pad[0], pad[1], pad[2], (0, 0)))
+        z, yp_, xp_ = x_packed.shape[1:4]
+        cols = [xpad[:, dz:dz + z, dy:dy + yp_, dx:dx + xp_, :]
+                for dz in range(kz) for dy in range(kyp) for dx in range(kxp)]
+        col = jnp.concatenate(cols, axis=-1)
+        return jnp.einsum("nzyxk,ko->nzyxo", col, prepared["wcol"])
+    return lax.conv_general_dilated(
+        x_packed, prepared["wp"], window_strides=(1, 1, 1),
+        padding=prepared["pad"],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
 def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
                   precision=None, in_groups=None,
                   sparse: bool = False) -> jax.Array:
@@ -265,9 +339,36 @@ def pack_strided_conv_weights(w: jax.Array, factors=(F, F),
     return wp.reshape(kz, kyp, kxp, fy * fx * cin, cout)
 
 
+def strided_conv_geometry(x_shape, w_shape, z_stride: int, factors,
+                          flip=()):
+    """(lo_z, hi_z, lo_y, lo_x) padding geometry of packed_strided_conv3d for
+    a packed input of `x_shape` — shared by the inline path and the
+    prepare-outside-the-tile-loop path so they cannot diverge."""
+    fy, fx = int(factors[0]), int(factors[1])
+    kz, ky, kx = w_shape[:3]
+    lz = int(x_shape[1])
+    ly = int(x_shape[2]) * fy
+    lx = int(x_shape[3]) * fx
+    lo_z, hi_z = ((kz // 2, kz - 1 - kz // 2) if 0 not in flip
+                  else flipped_strided_pads(lz, kz, z_stride))
+    lo_y = ky // 2 if 1 not in flip else flipped_strided_pads(ly, ky, 2)[0]
+    lo_x = kx // 2 if 2 not in flip else flipped_strided_pads(lx, kx, 2)[0]
+    return lo_z, hi_z, lo_y, lo_x
+
+
+def prepare_packed_strided_conv3d(w: jax.Array, x_shape, *, z_stride: int = 2,
+                                  factors=(F, F), flip=()):
+    """Precompute the packed strided-conv weight (a scatter-build kLoop
+    fusion when left inside a tile loop) for apply via the prepared= arg."""
+    lo_z, hi_z, lo_y, lo_x = strided_conv_geometry(x_shape, w.shape, z_stride,
+                                                   factors, flip)
+    return pack_strided_conv_weights(w, factors, lo_y, lo_x)
+
+
 def packed_strided_conv3d(x_packed: jax.Array, w: jax.Array, *,
                           z_stride: int = 2, factors=(F, F),
-                          precision=None, flip=()) -> jax.Array:
+                          precision=None, flip=(),
+                          prepared=None) -> jax.Array:
     """Conv with strides (z_stride, 2, 2) over the ORIGINAL grid, input packed
     by `factors`, output UNPACKED: (N, Z/sz, Y/2, X/2, Cout). nnU-Net's first
     strided conv of the next stage; SAME (torch symmetric) padding semantics.
@@ -275,17 +376,16 @@ def packed_strided_conv3d(x_packed: jax.Array, w: jax.Array, *,
     flip: spatial axes (0=z, 1=y, 2=x) executing in mirror-TTA weight-flip
     mode: `w` must arrive TAP-REVERSED on those axes and the padding switches
     to the flipped-world asymmetric pads (flipped_strided_pads), so the output
-    equals flip(packed_strided(flip(x), w)) without any activation flips."""
+    equals flip(packed_strided(flip(x), w)) without any activation flips.
+
+    prepared: prepare_packed_strided_conv3d output (w still supplies the
+    kernel extents)."""
     fy, fx = int(factors[0]), int(factors[1])
-    kz, ky, kx = w.shape[:3]
-    lz = x_packed.shape[1]
-    ly = x_packed.shape[2] * fy
-    lx = x_packed.shape[3] * fx
-    lo_z, hi_z = ((kz // 2, kz - 1 - kz // 2) if 0 not in flip
-                  else flipped_strided_pads(lz, kz, z_stride))
-    lo_y = ky // 2 if 1 not in flip else flipped_strided_pads(ly, ky, 2)[0]
-    lo_x = kx // 2 if 2 not in flip else flipped_strided_pads(lx, kx, 2)[0]
-    wp = pack_strided_conv_weights(w, factors, lo_y, lo_x)
+    kz = w.shape[0]
+    lo_z, hi_z, lo_y, lo_x = strided_conv_geometry(
+        x_packed.shape, w.shape, z_stride, factors, flip)
+    wp = (prepared if prepared is not None
+          else pack_strided_conv_weights(w, factors, lo_y, lo_x))
     kyp, kxp = wp.shape[1], wp.shape[2]
     # left pad in packed cells = -o_min of the tap table (original tap -lo
     # lands in packed cell floor(-lo / f)); right pad fills the packed kernel
@@ -303,9 +403,31 @@ def packed_strided_conv3d(x_packed: jax.Array, w: jax.Array, *,
 # transposed conv: unpacked input -> packed output (decoder upsampling)
 # ---------------------------------------------------------------------------
 
+def prepare_packed_conv_transpose3d(w: jax.Array, *, z_stride: int = 2,
+                                    factors=(F, F)):
+    """Precompute the per-tap pointwise kernels of packed_conv_transpose3d
+    (tiny transposes/reshapes, hoisted out of tile loops with the rest)."""
+    fy, fx = int(factors[0]), int(factors[1])
+    kz, ky, kx, cin, cout = w.shape
+    assert kz == z_stride and ky == 2 and kx == 2, (w.shape, z_stride)
+    wf = w[::-1, ::-1, ::-1]
+    ny = 1 if fy == 2 else ky
+    nx = 1 if fx == 2 else kx
+    p = fy * fx
+    kerns = []
+    for iz in range(kz):
+        for iy in range(ny):
+            for ix in range(nx):
+                sub = wf[iz]
+                sub = sub if fy == 2 else sub[iy:iy + 1]
+                sub = sub if fx == 2 else sub[:, ix:ix + 1]
+                kerns.append(sub.transpose(2, 0, 1, 3).reshape(cin, p * cout))
+    return kerns
+
+
 def packed_conv_transpose3d(x: jax.Array, w: jax.Array, *,
                             z_stride: int = 2, factors=(F, F),
-                            precision=None) -> jax.Array:
+                            precision=None, prepared=None) -> jax.Array:
     """Transposed conv, kernel==stride==(z_stride,2,2), unpacked input
     (N, Z, Y', X', Cin) -> output packed by `factors`:
     (N, Z*sz, Y'*2/fy, X'*2/fx, P*Cout).
@@ -319,23 +441,20 @@ def packed_conv_transpose3d(x: jax.Array, w: jax.Array, *,
     fy, fx = int(factors[0]), int(factors[1])
     kz, ky, kx, cin, cout = w.shape
     assert kz == z_stride and ky == 2 and kx == 2, (w.shape, z_stride)
-    wf = w[::-1, ::-1, ::-1]
     ny = 1 if fy == 2 else ky  # interleave counts on non-packed axes
     nx = 1 if fx == 2 else kx
-    p = fy * fx
+    kerns = (prepared if prepared is not None
+             else prepare_packed_conv_transpose3d(w, z_stride=z_stride,
+                                                  factors=factors))
+    kit = iter(kerns)
 
-    def pointwise(iz, iy, ix):
-        sub = wf[iz]
-        sub = sub if fy == 2 else sub[iy:iy + 1]
-        sub = sub if fx == 2 else sub[:, ix:ix + 1]
-        # sub: (fy, fx, cin, cout) — phase dims where packed, singleton where not
-        kern = sub.transpose(2, 0, 1, 3).reshape(cin, p * cout)
+    def pointwise(kern):
         return lax.conv_general_dilated(
             x, kern[None, None, None], window_strides=(1, 1, 1),
             padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             precision=precision)
 
-    outs = [[[pointwise(iz, iy, ix) for ix in range(nx)] for iy in range(ny)]
+    outs = [[[pointwise(next(kit)) for ix in range(nx)] for iy in range(ny)]
             for iz in range(kz)]
     n, z, yp, xp, pc = outs[0][0][0].shape
     # interleave x (axis 3), then y (axis 2), then z (axis 1)
@@ -348,18 +467,48 @@ def packed_conv_transpose3d(x: jax.Array, w: jax.Array, *,
     return planes[0]
 
 
+def prepare_packed_pointwise_conv3d(w: jax.Array, factors=(F, F)):
+    """Block-diagonal [P*Cin, P*Cout] weight for the flat pointwise path
+    (a small scatter build — hoist out of tile loops with the rest)."""
+    cin, cout = w.shape[3], w.shape[4]
+    p = nphases(factors)
+    wb = jnp.zeros((p * cin, p * cout), w.dtype)
+    for ph in range(p):
+        wb = wb.at[ph * cin:(ph + 1) * cin,
+                   ph * cout:(ph + 1) * cout].set(w[0, 0, 0])
+    return wb
+
+
 def packed_pointwise_conv3d(x_packed: jax.Array, w: jax.Array, b=None, *,
-                            factors=(F, F), precision=None) -> jax.Array:
-    """1x1x1 conv in packed space (e.g. seg heads): (..., P*Cin) -> (..., P*Cout)
-    run phase-grouped via reshape+einsum — zero FLOP overhead vs unpacked."""
+                            factors=(F, F), precision=None,
+                            flat: bool | None = None,
+                            prepared=None) -> jax.Array:
+    """1x1x1 conv in packed space (e.g. seg heads): (..., P*Cin) -> (..., P*Cout).
+
+    On TPU this runs as ONE flat dot with a block-diagonal [P*Cin, P*Cout]
+    weight: the phase-grouped einsum's (..., P, C) reshape of the big tensor
+    is not lane-tile aligned and materializes a full relayout copy of the
+    result (~2.7 ms per b2 flagship head, v5e xprof round 4 copy.4324/4337).
+    The block-diagonal zeros cost P x the FLOPs of the grouped einsum, but a
+    1x1 head's FLOPs are tiny next to that copy (and the extra products are
+    exact zeros, so the sums are unchanged). Off TPU (FLOP-bound) the
+    phase-grouped reshape+einsum stays."""
     kz, ky, kx, cin, cout = w.shape
     assert (kz, ky, kx) == (1, 1, 1)
     p = nphases(factors)
     n, z, yp, xp, pc = x_packed.shape
-    xg = x_packed.reshape(n, z, yp, xp, p, cin)
-    out = jnp.einsum("nzyxpi,io->nzyxpo", xg, w[0, 0, 0],
-                     precision=precision)
-    out = out.reshape(n, z, yp, xp, p * cout)
+    if flat is None:
+        flat = jax.default_backend() == "tpu"
+    if prepared is not None or (flat and p > 1):
+        wb = (prepared if prepared is not None
+              else prepare_packed_pointwise_conv3d(w, factors))
+        out = jnp.einsum("nzyxk,ko->nzyxo", x_packed, wb.astype(x_packed.dtype),
+                         precision=precision)
+    else:
+        xg = x_packed.reshape(n, z, yp, xp, p, cin)
+        out = jnp.einsum("nzyxpi,io->nzyxpo", xg, w[0, 0, 0],
+                         precision=precision)
+        out = out.reshape(n, z, yp, xp, p * cout)
     if b is not None:
         out = out + b
     return out

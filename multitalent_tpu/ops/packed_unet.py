@@ -74,15 +74,21 @@ def _instance_norm_lrelu(x, scale, bias, negative_slope=1e-2, eps=1e-5):
 
 
 def _block(x, p, *, strides=(1, 1, 1), negative_slope, dtype,
-           factors=UNPACKED, in_groups=None, pads=None, sparse=False):
-    """One ConvNormAct block (conv + bias -> InstanceNorm -> LeakyReLU)."""
+           factors=UNPACKED, in_groups=None, pads=None, sparse=False,
+           prepared=None):
+    """One ConvNormAct block (conv + bias -> InstanceNorm -> LeakyReLU).
+    `prepared`: packed-conv weights precomputed outside a tile loop
+    (prepare_packed_conv3d output)."""
     w, b = p["conv"]["kernel"], p["conv"]["bias"]
     ns, nb = p["norm"]["scale"], p["norm"]["bias"]
     if factors != UNPACKED:
         assert strides == (1, 1, 1)
-        out = pc.packed_conv3d(x.astype(dtype), w.astype(dtype),
-                               factors=factors, in_groups=in_groups,
-                               sparse=sparse)
+        if prepared is not None:
+            out = pc.apply_packed_conv3d(x.astype(dtype), prepared)
+        else:
+            out = pc.packed_conv3d(x.astype(dtype), w.astype(dtype),
+                                   factors=factors, in_groups=in_groups,
+                                   sparse=sparse)
         out = out + jnp.tile(b.astype(dtype), pc.nphases(factors))
         return pc.packed_instance_norm(out, ns, nb, factors=factors,
                                        negative_slope=negative_slope)
@@ -128,19 +134,39 @@ def packable_stages(model: GenericUNet, patch_size: Sequence[int],
                if f != UNPACKED)
 
 
-def _flip_conv_kernels(params, axes):
+def _flip_conv_kernels(params, axes, cast_to=None):
     """Tap-reverse every 5-D conv kernel on the given spatial axes (0=z, 1=y,
     2=x). In a GenericUNet params tree the 5-D leaves are exactly the conv /
     transposed-conv / seg-head kernels (kz, ky, kx, Cin, Cout); 1x1x1 heads
     flip to themselves. Weights are tiny next to activations, so re-deriving
     the 8 mirror variants inside jit costs ~nothing while removing every
-    activation flip from the TTA loop."""
+    activation flip from the TTA loop.
+
+    IMPORTANT: callers inside a device tile loop must run this in a PREPARE
+    step outside the loop body (prepare_flipped_params), not per combo inside
+    it — the optimization_barrier below is opaque to XLA's loop-invariant
+    code motion, so everything downstream of it (notably the packed-weight
+    scatter builds, ~6 ms/iteration kLoop fusions) gets re-executed every
+    loop iteration when the barrier sits in the body (measured ~2.5 s of a
+    19 s volume, xprof round 4).
+
+    cast_to: also cast the 5-D leaves (the conv kernels) to this dtype — the
+    blocks cast to the model dtype anyway, and casting in prepare halves the
+    resident size of the 8 mirror variants."""
     axes = [int(a) for a in axes]
-    if not axes:
+
+    def leaf(v):
+        if getattr(v, "ndim", 0) != 5:
+            return v
+        if axes:
+            v = jnp.flip(v, axes)
+        return v.astype(cast_to) if cast_to is not None else v
+
+    if not axes and cast_to is None:
         return params
-    flipped = jax.tree_util.tree_map(
-        lambda v: jnp.flip(v, axes) if getattr(v, "ndim", 0) == 5 else v,
-        params)
+    flipped = jax.tree_util.tree_map(leaf, params)
+    if not axes:
+        return flipped
     # Barrier: without it XLA folds the kernel lax.rev into the conv's
     # window_reversal, and the TPU fusion emitter then trips a
     # `window.pad_low[i] == 0` CHECK (observed -2) when that combines with
@@ -149,12 +175,95 @@ def _flip_conv_kernels(params, axes):
     return jax.lax.optimization_barrier(flipped)
 
 
+def prepare_packed_unet_weights(model: GenericUNet, params, x_shape, *,
+                                pack_max_channels: int = 128,
+                                flip_combo: tuple[int, ...] = (),
+                                sparse: bool = False):
+    """Materialize every weight-derived array packed_unet_forward needs for
+    inputs of `x_shape` — packed conv weights (scatter builds), strided /
+    transposed kernels, the head's block-diagonal matrix.
+
+    MUST be computed outside a device tile loop: left inline, the builds
+    compile to kLoop fusions that XLA re-executes every loop iteration (2.5-3
+    s of a 19 s bench volume, xprof round 4 — XLA's while passes sink rather
+    than hoist them, and the TTA flip barrier blocks hoisting anyway).
+
+    `params` must already be tap-reversed for `flip_combo`
+    (_flip_conv_kernels); flip_combo here only drives the strided-conv
+    padding geometry. Returns None when the input isn't packable. The walk
+    mirrors packed_unet_forward's structure exactly; the flipw equivalence
+    tests pin the two together."""
+    num_pool = model.num_pool
+    dtype = model.dtype
+    flip_combo = tuple(int(a) for a in flip_combo)
+    sfactors = stage_factors(model, x_shape[1:4], pack_max_channels)
+    if all(f == UNPACKED for f in sfactors):
+        return None
+    prep: dict = {}
+    z, y, x = (int(v) for v in x_shape[1:4])
+    cur = sfactors[0]
+
+    def conv_xshape(cin):
+        return (1, z, y // cur[0], x // cur[1], pc.nphases(cur) * cin)
+
+    for d in range(num_pool + 1):
+        name = "bottleneck" if d == num_pool else f"enc{d}"
+        p = params[name]
+        stride = tuple(model.pool_op_kernel_sizes[d - 1]) if d > 0 else (1, 1, 1)
+        nxt = sfactors[d] if d < num_pool else UNPACKED
+        for i in range(model.conv_per_stage):
+            w = p[f"block{i}"]["conv"]["kernel"]
+            if i == 0 and d > 0:
+                if cur != UNPACKED:
+                    prep[f"{name}.strided"] = pc.prepare_packed_strided_conv3d(
+                        w.astype(dtype), conv_xshape(w.shape[3]),
+                        z_stride=stride[0], factors=cur, flip=flip_combo)
+                    z, y, x = z // stride[0], y // 2, x // 2
+                    cur = nxt
+                else:
+                    z, y, x = z // stride[0], y // stride[1], x // stride[2]
+            elif cur != UNPACKED:
+                prep[f"{name}.block{i}"] = pc.prepare_packed_conv3d(
+                    w.astype(dtype), conv_xshape(w.shape[3]), factors=cur,
+                    sparse=sparse)
+
+    for u in range(num_pool):
+        s_idx = num_pool - 1 - u
+        target = sfactors[s_idx]
+        stride = tuple(model.pool_op_kernel_sizes[s_idx])
+        wt = params[f"up{u}"]["kernel"]
+        z, y, x = z * stride[0], y * stride[1], x * stride[2]
+        if target != UNPACKED:
+            prep[f"up{u}"] = pc.prepare_packed_conv_transpose3d(
+                wt.astype(dtype), z_stride=stride[0], factors=target)
+            cur = target
+            skip_c = params[f"enc{s_idx}"][
+                f"block{model.conv_per_stage - 1}"]["conv"]["kernel"].shape[4]
+            groups = (wt.shape[4], skip_c)
+        else:
+            cur = UNPACKED
+            groups = None
+        for i in range(model.conv_per_stage):
+            w = params[f"dec{u}"][f"block{i}"]["conv"]["kernel"]
+            if cur != UNPACKED:
+                prep[f"dec{u}.block{i}"] = pc.prepare_packed_conv3d(
+                    w.astype(dtype), conv_xshape(w.shape[3]), factors=cur,
+                    in_groups=groups if i == 0 else None, sparse=sparse)
+        if u == num_pool - 1 and cur != UNPACKED:
+            hw = params[f"seg{u}"]["kernel"]
+            prep[f"seg{u}"] = pc.prepare_packed_pointwise_conv3d(
+                hw.astype(dtype), cur)
+    return prep
+
+
 def packed_unet_forward(model: GenericUNet, params, x, *,
                         deep_supervision: bool = False,
                         pack_max_channels: int = 128,
                         packed_output: bool = False,
                         flip_combo: tuple[int, ...] = (),
-                        sparse: bool = False):
+                        sparse: bool = False,
+                        preflipped: bool = False,
+                        prep: dict | None = None):
     """Forward pass equal to model.apply({'params': params}, x,
     deep_supervision=...) but with the leading stages executed packed.
 
@@ -187,7 +296,11 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                           deep_supervision=deep_supervision)
         return (out, UNPACKED) if packed_output else out
 
-    params = _flip_conv_kernels(params, flip_combo)
+    if not preflipped:
+        params = _flip_conv_kernels(params, flip_combo)
+    # preflipped: params arrived tap-reversed from prepare_flipped_params
+    # (hoisted out of the caller's tile loop); flip_combo still selects the
+    # mirrored strided-conv padding below.
 
     def strided_pads(shape_zyx, kernel, strides):
         """Per-axis explicit pads for an unpacked strided conv under
@@ -222,7 +335,9 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                     w, b = bp["conv"]["kernel"], bp["conv"]["bias"]
                     out = pc.packed_strided_conv3d(
                         x.astype(dtype), w.astype(dtype), z_stride=stride[0],
-                        factors=cur, flip=flip_combo)
+                        factors=cur, flip=flip_combo,
+                        prepared=prep.get(f"{name}.strided")
+                        if prep else None)
                     out = out + b.astype(dtype)
                     if nxt != UNPACKED:
                         out = pc.space_to_depth_yx(out, nxt)
@@ -241,7 +356,9 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                                    bp["conv"]["kernel"].shape[:3], stride))
             else:
                 x = _block(x, bp, negative_slope=slope, dtype=dtype,
-                           factors=cur, sparse=sparse)
+                           factors=cur, sparse=sparse,
+                           prepared=prep.get(f"{name}.block{i}")
+                           if prep else None)
         if d < num_pool:
             skips.append(x)
 
@@ -257,7 +374,9 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
             if cur != UNPACKED:
                 x = pc.depth_to_space_yx(x, cur)
             x = pc.packed_conv_transpose3d(x.astype(dtype), wt.astype(dtype),
-                                           z_stride=stride[0], factors=target)
+                                           z_stride=stride[0], factors=target,
+                                           prepared=prep.get(f"up{u}")
+                                           if prep else None)
             cur = target
             # PLAIN concat [P*c_up | P*c_skip]: the phase regrouping moves
             # into the first decoder conv's packed weight (in_groups below) —
@@ -278,7 +397,9 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
             x = _block(x, params[f"dec{u}"][f"block{i}"], negative_slope=slope,
                        dtype=dtype, factors=cur,
                        in_groups=groups if (i == 0 and cur != UNPACKED)
-                       else None, sparse=sparse)
+                       else None, sparse=sparse,
+                       prepared=prep.get(f"dec{u}.block{i}")
+                       if prep else None)
         # seg head
         if deep_supervision or u == num_pool - 1:
             hp = params[f"seg{u}"]
@@ -296,7 +417,8 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                     logits = pc.packed_pointwise_conv3d(
                         x.astype(dtype), hw.astype(dtype),
                         jnp.tile(hb.astype(dtype), pc.nphases(cur))
-                        if hb is not None else None, factors=cur)
+                        if hb is not None else None, factors=cur,
+                        prepared=prep.get(f"seg{u}") if prep else None)
                     return logits, cur
                 if not deep_supervision:
                     # inference: fused GEMM + depth-to-space kernel keeps the
@@ -316,7 +438,8 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                     logits = pc.packed_pointwise_conv3d(
                         x.astype(dtype), hw.astype(dtype),
                         jnp.tile(hb.astype(dtype), pc.nphases(cur))
-                        if hb is not None else None, factors=cur)
+                        if hb is not None else None, factors=cur,
+                        prepared=prep.get(f"seg{u}") if prep else None)
                     logits = pc.depth_to_space_yx(logits, cur)
             else:
                 logits = _conv_same(x, hw, hb, dtype=dtype)
@@ -353,7 +476,11 @@ def make_packed_inference_apply_fn(model, patch_size):
 
     fuse = os.environ.get("MTTPU_FUSED_NORM") == "1"
 
-    def apply_fn(params, batch, flip=()):
+    def apply_fn(state, batch, flip=(), preflipped=False):
+        if preflipped:
+            params, prep = state  # from prepare_flipped
+        else:
+            params, prep = state, None
         if fuse and not flip:
             try:
                 out, f = packed_unet_forward_fused(model, params, batch,
@@ -368,14 +495,36 @@ def make_packed_inference_apply_fn(model, patch_size):
                                      pack_max_channels=pmc,
                                      packed_output=True,
                                      flip_combo=tuple(flip),
-                                     sparse=True)
+                                     sparse=True,
+                                     preflipped=preflipped,
+                                     prep=prep)
         assert f == factors, (f, factors)
+        return out
+
+    def prepare_flipped(params, combos):
+        """Per-combo (tap-reversed params, prepared packed weights), to be
+        computed ONCE outside a tile loop: the flip's optimization_barrier
+        blocks XLA's loop-invariant code motion — and XLA's while passes SINK
+        the packed-weight scatter builds into the body regardless, where they
+        re-execute every iteration (~2.5-3 s of a 19 s bench volume, xprof
+        round 4). prepare_packed_unet_weights materializes them as real
+        arrays the loop merely consumes."""
+        x_shape = (1, *[int(p_) for p_ in patch_size],
+                   int(model.input_channels))
+        out = {}
+        for c in combos:
+            c = tuple(c)
+            flipped = _flip_conv_kernels(params, c, cast_to=model.dtype)
+            out[c] = (flipped, prepare_packed_unet_weights(
+                model, flipped, x_shape, pack_max_channels=pmc,
+                flip_combo=c, sparse=True))
         return out
 
     # mirror TTA can run in the weights (tap-reversed kernels + mirrored
     # strided-conv padding) instead of flipping activations: the sliding-
     # window engine checks this flag to pick the flip-free accumulation path
     apply_fn.supports_weight_flip = True
+    apply_fn.prepare_flipped = prepare_flipped
     return apply_fn, factors
 
 

@@ -327,20 +327,30 @@ def _pick_blocks(z, y, x):
 
 
 def pallas_packed_conv3d_sparse(x_packed, w, *, factors, in_groups=None,
-                                interpret: bool = False):
+                                interpret: bool = False, cin=None,
+                                prepared_weights=None):
     """Stride-1 SAME 3x3x3 conv on a packed tensor via merged sparse-tap
     GEMMs. x_packed: (N, Z, Y', X', P*Cin) tight phase-major (or in_groups
     plain concat); w: canonical (3,3,3,Cin,Cout). Returns tight phase-major
     (N, Z, Y', X', P*Cout). Raises ValueError when unsupported (callers fall
-    back to the dense path)."""
+    back to the dense path).
+
+    prepared_weights (+ cin): the _sparse_weights output precomputed outside
+    a device tile loop (see prepare_packed_conv3d); w may be None then."""
     fy, fx = int(factors[0]), int(factors[1])
     if (fy, fx) not in ((2, 2), (1, 2)):
         raise ValueError("unsupported factors")
     p = fy * fx
     n, z, yp, xp, pc = x_packed.shape
-    kz, ky, kx, cin, cout = w.shape
-    if (kz, ky, kx) != (3, 3, 3) or p * cin != pc:
-        raise ValueError("unsupported kernel")
+    if prepared_weights is None:
+        kz, ky, kx, cin, cout = w.shape
+        if (kz, ky, kx) != (3, 3, 3) or p * cin != pc:
+            raise ValueError("unsupported kernel")
+    else:
+        cin = int(cin)
+        cout = prepared_weights.shape[-1] // p
+        if p * cin != pc:
+            raise ValueError("unsupported kernel")
     if not interpret and jax.default_backend() != "tpu":
         raise ValueError("pallas conv requires a TPU backend")
     blocks = _pick_blocks(z, yp, xp)
@@ -354,7 +364,9 @@ def pallas_packed_conv3d_sparse(x_packed, w, *, factors, in_groups=None,
 
     xg = _phase_pad_channels(x_packed, p, cin, cpp, in_groups)
     xpad = jnp.pad(xg, ((0, 0), (1, 1), (1, 1), (8, 8), (0, 0)))
-    wts = _sparse_weights(w, (fy, fx), cpp, in_groups).astype(x_packed.dtype)
+    wts = (prepared_weights if prepared_weights is not None
+           else _sparse_weights(w, (fy, fx), cpp, in_groups))
+    wts = wts.astype(x_packed.dtype)
     call = _build_sparse(n, z, yp, xp, kin, cout_p, ng, str(x_packed.dtype),
                          bz, by, bx, (fy, fx), cpp, interpret)
     return call(xpad, wts)

@@ -194,7 +194,21 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             probs = logits.astype(jnp.float32)
         return probs.astype(prob_dtype)
 
-    def _tiles_total_flipw(params, tiles):
+    def _prepare_flipped(params):
+        """Per-combo tap-reversed weight trees, computed ONCE per program
+        (outside the tile loop): the flip's optimization_barrier blocks XLA's
+        loop-invariant code motion, so flipping inside the loop body
+        re-executed the packed-weight scatter builds every iteration —
+        ~2.5 s of a 19 s bench volume (xprof round 4, the 150-270 ms
+        bf16[3,3,3,2,2,30,2,2,30] kLoop fusions)."""
+        prep = getattr(apply_fn, "prepare_flipped", None)
+        if prep is None:
+            return {combo: params for combo in combos}  # apply flips itself
+        return prep(params, combos)
+
+    _has_prepare = getattr(apply_fn, "prepare_flipped", None) is not None
+
+    def _tiles_total_flipw(prepared, tiles):
         """Mirror-TTA sum over all combos for a BATCH of tiles, with the
         flips executed in the weights (packed_unet_forward flip_combo:
         tap-reversed kernels + mirrored strided-conv padding) — no activation
@@ -211,12 +225,13 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         sum_dtype = jnp.float32 if exact else jnp.float16
         total = None
         for combo in combos:
-            probs = _apply_nonlin(apply_fn(params, tiles, combo))
+            probs = _apply_nonlin(apply_fn(prepared[combo], tiles, combo,
+                                           preflipped=_has_prepare))
             u = probs.astype(sum_dtype)
             total = u if total is None else total + u
         return total  # f16: the contrib multiply upconverts in-register
 
-    def _accumulate_tiles_flipw(acc, cnt, params, padded_volume, coords,
+    def _accumulate_tiles_flipw(acc, cnt, prepared, padded_volume, coords,
                                 weights, aligned8=False):
         """TB tiles x full TTA with one RMW per tile per accumulator.
 
@@ -237,7 +252,7 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
                                    hint8(coords[t, 2]),
                                    0), (*patch, in_channels))
             for t in range(tb)])
-        total = _tiles_total_flipw(params, tiles)
+        total = _tiles_total_flipw(prepared, tiles)
         gauss_b = (gauss_div[..., None] if nph > 1 else gauss_div)
         for t in range(tb):
             zp, yp, xp = (coords[t, 0], hint8(coords[t, 1] // fy),
@@ -324,8 +339,8 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         into the program (device-neutral: the multi-device tile sharding
         runs this same program per device)."""
         if flip_in_weights:
-            return _accumulate_tiles_flipw(acc, cnt, params, padded_volume,
-                                           coords, weights)
+            return _accumulate_tiles_flipw(acc, cnt, _prepare_flipped(params),
+                                           padded_volume, coords, weights)
         for t in range(coords.shape[0]):
             acc, cnt = _accumulate_tile(acc, cnt, params, padded_volume,
                                         coords[t, 0], coords[t, 1],
@@ -356,11 +371,14 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
                              weights_pad):
                     groups = coords_pad.reshape(-1, tb, 3)
                     wgroups = weights_pad.reshape(-1, tb)
+                    # flip + cast ONCE, before the loop: the barrier inside
+                    # the flip is opaque to while-loop invariant code motion
+                    prepared = _prepare_flipped(params)
 
                     def body(i, carry):
                         acc, cnt = carry
                         return _accumulate_tiles_flipw(
-                            acc, cnt, params, padded_volume, groups[i],
+                            acc, cnt, prepared, padded_volume, groups[i],
                             wgroups[i], aligned8=aligned8)
 
                     return jax.lax.fori_loop(0, groups.shape[0], body,

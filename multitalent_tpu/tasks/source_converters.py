@@ -18,8 +18,9 @@ public challenge downloads, matching the reference's one-off scripts:
 
 - Task046 AbdOrgSegm2 — TCIA Pancreas-CT + BTCV images with the zenodo
   multi-organ labels (Task46_AbdOrgSegm2.py:44-186; the DICOM→NIfTI pre-step
-  is external as for Task062; the label remap, the pancreas image→label
-  geometry alignment, and the drop-unlabeled-images rule are reproduced)
+  runs through io/dicom.py as for Task062; the label remap, the pancreas
+  image→label geometry alignment, and the drop-unlabeled-images rule are
+  reproduced)
 - Task051 StructSeg2019 Task3 Thoracic OAR
   (Task51_StructSeg2019_Task3_Thoracic_OAR.py:8-41; the reference writes the
   folder as `Task51_...` — this rebuild uses the zero-padded
@@ -143,16 +144,42 @@ TASK062_EXCLUDED = ("PANCREAS_0045", "PANCREAS_0007", "PANCREAS_0032",
                     "PANCREAS_0027")
 
 
+
+def _ensure_pancreas_niftis(images_dir: str) -> str:
+    """Accept either a folder of PANCREAS_XXXX.nii.gz volumes or the raw TCIA
+    DICOM manifest tree (case/<study>/<series>/*.dcm). DICOM trees are
+    converted through the vendored reader (io/dicom.py — the reference used
+    dicom2nifti, Task062_NIHPancreas.py:33-60) into a `nifti_converted`
+    sibling folder, reused on rerun."""
+    from multitalent_tpu.utils.fileops import subfiles as _subfiles
+    if _subfiles(images_dir, join=False, suffix=".nii.gz"):
+        return images_dir
+    from multitalent_tpu.io.dicom import (convert_tcia_dicom_tree,
+                                          find_dicom_series_dirs)
+    if not find_dicom_series_dirs(images_dir):
+        raise ValueError(f"{images_dir}: neither NIfTI volumes nor DICOM "
+                         "series found")
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(images_dir)),
+                           "nifti_converted")
+    existing = _subfiles(out_dir, join=False, suffix=".nii.gz") \
+        if os.path.isdir(out_dir) else []
+    if not existing:
+        convert_tcia_dicom_tree(images_dir, out_dir)
+    return out_dir
+
+
 def convert_task062_nih_pancreas(nifti_images_dir: str, labels_dir: str,
                                  raw_data_base: str | None = None,
                                  reorient: bool = True) -> str:
-    """TCIA Pancreas-CT: `nifti_images_dir` holds PANCREAS_XXXX.nii.gz volumes
-    (convert the DICOM series beforehand; the reference used dicom2nifti),
-    `labels_dir` holds labelXXXX.nii.gz. Both are reoriented to closest
+    """TCIA Pancreas-CT: `nifti_images_dir` holds PANCREAS_XXXX.nii.gz
+    volumes OR the raw TCIA DICOM manifest tree (converted via the vendored
+    reader io/dicom.py; the reference used dicom2nifti,
+    Task062_NIHPancreas.py:33-60). `labels_dir` holds labelXXXX.nii.gz. Both are reoriented to closest
     canonical (RAS) like the reference's nibabel pass, and the 4 known-bad
     cases are dropped."""
     out_base, imagestr, imagests, labelstr = _task_layout(
         "Task062_NIHPancreas", raw_data_base)
+    nifti_images_dir = _ensure_pancreas_niftis(nifti_images_dir)
     for c in subfiles(nifti_images_dir, join=False, suffix=".nii.gz"):
         casename = c[:-7]
         if casename in TASK062_EXCLUDED:
@@ -230,6 +257,7 @@ def convert_task046_abdorgsegm2(pancreas_nifti_dir: str, labels_dir: str,
     label (:19-26)."""
     out_base, imagestr, imagests, labelstr = _task_layout(
         "Task046_AbdOrgSegm2", raw_data_base)
+    pancreas_nifti_dir = _ensure_pancreas_niftis(pancreas_nifti_dir)
     from multitalent_tpu.io.nifti import Geometry, read_nifti, write_nifti
 
     pan_labels = os.path.join(labels_dir, "label_tciapancreasct_multiorgan",

@@ -84,6 +84,11 @@ def test_packed_pointwise_and_instance_norm():
     got = pc.depth_to_space_yx(pc.packed_pointwise_conv3d(
         pc.space_to_depth_yx(x), w, jnp.tile(b, pc.P)))
     np.testing.assert_allclose(ref, got, atol=2e-5, rtol=1e-4)
+    # flat path (TPU default): block-diagonal single dot, exact — the extra
+    # products are exact zeros
+    got_flat = pc.depth_to_space_yx(pc.packed_pointwise_conv3d(
+        pc.space_to_depth_yx(x), w, jnp.tile(b, pc.P), flat=True))
+    np.testing.assert_allclose(ref, got_flat, atol=2e-5, rtol=1e-4)
 
     scale = jnp.asarray(rng.randn(3).astype(np.float32))
     bias = jnp.asarray(rng.randn(3).astype(np.float32))
