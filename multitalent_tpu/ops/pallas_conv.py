@@ -33,16 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _impl_choice() -> str:
-    """Kernel inner-loop strategy: 'tap' (27 accumulating dots, the round-1
-    baseline), 'sum' (single accumulation expression), 'im2col' (materialize
-    [M, 27c] in VMEM, one long-K GEMM). Compile-time: part of the build key."""
-    import os
-    return os.environ.get("MTTPU_PALLAS_CONV_IMPL", "tap")
-
-
 def _conv_kernel(x_ref, w_ref, out_ref, xblk, sems, *, bz, by, bx, c, cout,
-                 zb, yb, xb, impl="tap"):
+                 zb, yb, xb):
     # The x (sublane) dim of HBM slices must be 8-aligned, so the input is
     # pre-padded by 8 in x and each program over-fetches an aligned bx+16
     # window; the +-1 halo sits at in-window offset 7..bx+9. z/y dims carry
@@ -81,170 +73,31 @@ def _conv_kernel(x_ref, w_ref, out_ref, xblk, sems, *, bz, by, bx, c, cout,
                                    pl.ds(0, bx + 16), :],
                           xblk.at[slot], sems.at[slot]).wait()
 
-    if impl == "wino":
-        # Winograd F(2x2x2, 3x3x3): 8/27 the MXU work of the direct conv.
-        # Weights arrive pre-transformed as [64, c, cout] (G w G^T per axis,
-        # host-side). Data transform B^T and inverse transform A^T are adds
-        # only; the 64 transform-domain GEMMs run staged per (a, b) pair with
-        # the inverse accumulated on the fly, so at most ~20 [M_b, c] arrays
-        # are live at once.
-        #
-        # Mosaic cannot lower strided slices (they become gathers), so all
-        # stride-2 phase picks are expressed as even-split reshapes + static
-        # indexing: free on the major z/y dims; on the sublane x dim one
-        # deinterleave relayout up front replaces the 16 strided slices.
-        hz, hy, hx = bz // 2, by // 2, bx // 2
-        mb = hz * hy * hx
-        xv = xblk[slot]
-
-        def bt(v):
-            # B^T rows: (1,0,-1,0), (0,1,1,0), (0,-1,1,0), (0,1,0,-1)
-            return [v[0] - v[2], v[1] + v[2], v[2] - v[1], v[1] - v[3]]
-
-        def phase_slices(arr, axis, half_len):
-            """arr split along `axis` (even length) into stride-2 phase views:
-            returns s[q] == arr.take(range(q, q+2*half_len, 2), axis) for
-            q in 0..3, via reshape (..., L/2, 2, ...) + static index/slice."""
-            shp = arr.shape
-            view = arr.reshape(shp[:axis] + (shp[axis] // 2, 2)
-                               + shp[axis + 1:])
-            out = []
-            for q in range(4):
-                sl = [slice(None)] * view.ndim
-                sl[axis] = slice(q // 2, q // 2 + half_len)
-                sl[axis + 1] = q % 2
-                out.append(view[tuple(sl)])
-            return out
-
-        # z-pass: 4 arrays [hz, by+2, bx+16, c]
-        t1 = bt(phase_slices(xv, 0, hz))
-        # y-pass: 16 arrays [hz, hy, bx+16, c]
-        t2 = [bt(phase_slices(ta, 1, hy)) for ta in t1]
-
-        at_rows = ((1.0, 1.0, 1.0, 0.0), (0.0, 1.0, -1.0, -1.0))
-        acc = {}
-        for a in range(4):
-            for b in range(4):
-                # x-pass: deinterleave sublanes once ([.., bx+16, c] ->
-                # [.., (bx+16)/2, 2, c]), then static phase picks. The +-1
-                # halo sits at offset 7..bx+9, so pick xc starts at sublane
-                # 7+xc = pair (7+xc)//2, phase (7+xc)%2.
-                xs = t2[a][b].reshape(hz, hy, (bx + 16) // 2, 2, c)
-                t3 = bt([xs[:, :, (7 + xc) // 2:(7 + xc) // 2 + hx,
-                            (7 + xc) % 2] for xc in range(4)])
-                for cc in range(4):
-                    idx = (a * 4 + b) * 4 + cc
-                    yab = jnp.dot(t3[cc].reshape(mb, c), w_ref[idx],
-                                  preferred_element_type=jnp.float32)
-                    for pz in range(2):
-                        ca = at_rows[pz][a]
-                        if ca == 0.0:
-                            continue
-                        for py in range(2):
-                            cb = at_rows[py][b]
-                            if cb == 0.0:
-                                continue
-                            for px in range(2):
-                                cw = at_rows[px][cc]
-                                if cw == 0.0:
-                                    continue
-                                coeff = ca * cb * cw
-                                term = yab if coeff == 1.0 else -yab
-                                key = (pz, py, px)
-                                acc[key] = (term if key not in acc
-                                            else acc[key] + term)
-        # interleave the 2x2x2 output phases back into the block
-        rows = [acc[(pz, py, px)].reshape(hz, hy, hx, cout)
-                for pz in range(2) for py in range(2) for px in range(2)]
-        stacked = jnp.stack(rows).reshape(2, 2, 2, hz, hy, hx, cout)
-        out = stacked.transpose(3, 0, 4, 1, 5, 2, 6).reshape(bz, by, bx, cout)
-        out_ref[0] = out.astype(out_ref.dtype)
-    elif impl == "im2col":
-        # Materialize the full im2col matrix [M, 27*c] in VMEM (27 shifted
-        # block copies), then ONE [M, 27c] x [27c, cout] GEMM: K = 27*128 =
-        # 3456 streams the systolic array continuously instead of 27
-        # fill/drain cycles with an accumulator read-modify-write per tap.
-        def body(a):
-            for dz in range(3):
-                for dy in range(3):
-                    for dx in range(3):
-                        t = (dz * 3 + dy) * 3 + dx
-                        xs = xblk[slot, dz:dz + bz, dy:dy + by,
-                                  dx + 7:dx + 7 + bx, :]
-                        a[:, t * c:(t + 1) * c] = xs.reshape(bz * by * bx, c)
-            out = jnp.dot(a[:], w_ref[:].reshape(27 * c, cout),
-                          preferred_element_type=jnp.float32)
-            out_ref[0] = out.reshape(bz, by, bx, cout).astype(out_ref.dtype)
-
-        pl.run_scoped(body, pltpu.VMEM((bz * by * bx, 27 * c), xblk.dtype))
-    elif impl == "tap3":
-        # Fold the 3 x-taps into the GEMM K dimension: build an
-        # x-concatenated copy of the block ONCE (3 sublane-shifted copies,
-        # one of which — dx=1 at offset 8 — is aligned), then run 9 (dz, dy)
-        # GEMMs of [M, 3c] x [3c, cout]. The plain tap impl's 27 per-tap
-        # slices each carry a sublane rotation (x offsets 7/8/9) whose VPU
-        # cost rivals the 27 small matmuls; this cuts the rotations 9x and
-        # triples the K each MXU weight-load amortizes. Weights arrive
-        # pre-reshaped as [3, 3, 3c, cout] (dx-major, ci-minor — matching
-        # the xcat channel order).
-        def body(acc, xcat):
-            for dx in range(3):
-                xcat[:, :, :, dx * c:(dx + 1) * c] = (
-                    xblk[slot, :, :, dx + 7:dx + 7 + bx, :])
-            acc[:] = jnp.zeros_like(acc)
-            for dz in range(3):
-                for dy in range(3):
-                    xs = xcat[dz:dz + bz, dy:dy + by, :, :]
-                    a2 = xs.reshape(bz * by * bx, 3 * c)
-                    acc[:] += jnp.dot(a2, w_ref[dz, dy, :, :],
-                                      preferred_element_type=jnp.float32)
-            out_ref[0] = acc[:].reshape(bz, by, bx, cout).astype(
-                out_ref.dtype)
-
-        pl.run_scoped(body,
-                      pltpu.VMEM((bz * by * bx, cout), jnp.float32),
-                      pltpu.VMEM((bz + 2, by + 2, bx, 3 * c), xblk.dtype))
-    elif impl == "sum":
-        # accumulate as one expression: lets Mosaic chain the 27 dots through
-        # the MXU accumulator instead of a VMEM read-modify-write per tap
-        out = None
+    def body(acc):
+        acc[:] = jnp.zeros_like(acc)
         for dz in range(3):
             for dy in range(3):
                 for dx in range(3):
                     xs = xblk[slot, dz:dz + bz, dy:dy + by,
                               dx + 7:dx + 7 + bx, :]
                     a2 = xs.reshape(bz * by * bx, c)
-                    d = jnp.dot(a2, w_ref[dz, dy, dx, :, :],
-                                preferred_element_type=jnp.float32)
-                    out = d if out is None else out + d
-        out_ref[0] = out.reshape(bz, by, bx, cout).astype(out_ref.dtype)
-    else:
-        def body(acc):
-            acc[:] = jnp.zeros_like(acc)
-            for dz in range(3):
-                for dy in range(3):
-                    for dx in range(3):
-                        xs = xblk[slot, dz:dz + bz, dy:dy + by,
-                                  dx + 7:dx + 7 + bx, :]
-                        a2 = xs.reshape(bz * by * bx, c)
-                        wt = w_ref[dz, dy, dx, :, :]
-                        acc[:] += jnp.dot(a2, wt,
-                                          preferred_element_type=jnp.float32)
-            out_ref[0] = acc[:].reshape(bz, by, bx, cout).astype(out_ref.dtype)
+                    wt = w_ref[dz, dy, dx, :, :]
+                    acc[:] += jnp.dot(a2, wt,
+                                      preferred_element_type=jnp.float32)
+        out_ref[0] = acc[:].reshape(bz, by, bx, cout).astype(out_ref.dtype)
 
-        pl.run_scoped(body, pltpu.VMEM((bz * by * bx, cout), jnp.float32))
+    pl.run_scoped(body, pltpu.VMEM((bz * by * bx, cout), jnp.float32))
 
 
 @lru_cache(maxsize=32)
-def _build(n, z, y, x, c, cout, dtype_name, bz, by, bx, interpret=False,
-           impl="tap"):
+def _build(n, z, y, x, c, cout, dtype_name, bz, by, bx, interpret=False):
     dtype = jnp.dtype(dtype_name)
     zb = z // bz
     yb = y // by
     xb = x // bx
     grid = (n * zb, yb, xb)
     kernel = partial(_conv_kernel, bz=bz, by=by, bx=bx, c=c, cout=cout,
-                     zb=zb, yb=yb, xb=xb, impl=impl)
+                     zb=zb, yb=yb, xb=xb)
     flops = 2 * 27 * c * cout * n * z * y * x
 
     return pl.pallas_call(
@@ -269,39 +122,23 @@ def _build(n, z, y, x, c, cout, dtype_name, bz, by, bx, interpret=False,
                             + n * z * y * x * cout * 2),
             transcendentals=0),
         interpret=interpret,
-        # tap3's extra [bz+2, by+2, bx, 3c] xcat scratch overflows the 16 MB
-        # default scoped-vmem budget at the widest (C=320->384) stages
-        **({"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)}
-           if impl == "tap3" and not interpret else {}),
     )
 
 
-def _pick_blocks(z, y, x, impl="tap"):
-    """Block sizes dividing the spatial dims, sized for ~1 MB VMEM blocks
-    ('tap'/'sum') or ~0.5 MB ('im2col', whose [M, 27c] scratch is 27x the
-    block — M must stay ~1024 to fit VMEM)."""
+def _pick_blocks(z, y, x):
+    """Block sizes dividing the spatial dims, sized for ~1 MB VMEM blocks."""
     def best(dim, targets):
         for t in targets:
             if dim % t == 0:
                 return t
         return None
-    if impl == "wino":
-        # block dims must be even (2^3 output tiles); bx also 16-aligned
-        bz = best(z, (8, 6, 4, 2))
-        by = best(y, (16, 12, 8, 6, 4, 2))
-        bx = best(x, (16, 32, 8, 24))
-        if None in (bz, by, bx):
-            return None
-        return bz, by, bx
-    bz = best(z, (4, 8, 2) if impl == "im2col" else (8, 6, 4, 12, 2))
-    by = best(y, (16, 12, 8, 6, 4) if impl == "im2col"
-              else (16, 12, 24, 8, 6, 4))
+    bz = best(z, (8, 6, 4, 12, 2))
+    by = best(y, (16, 12, 24, 8, 6, 4))
     # bx must be a multiple of 8: HBM->VMEM DMA windows start at kk*bx in the
     # sublane (x) dim and sublane slice starts must be 8-aligned — the +8
     # pre-pad only yields aligned windows when bx % 8 == 0 (bx=12 would
     # compile-fail in Mosaic with no fallback).
-    bx = best(x, (8, 16) if impl == "im2col" else (16, 8, 24))
+    bx = best(x, (16, 8, 24))
     if None in (bz, by, bx):
         return None
     return bz, by, bx
@@ -320,8 +157,7 @@ def pallas_conv3d_same(x, w, *, interpret: bool = False):
         # non-interpret pallas_call fails at LOWERING time on CPU — inside jit
         # that is past the callers' try/except ValueError, so refuse here
         raise ValueError("pallas conv requires a TPU backend")
-    impl = _impl_choice()
-    blocks = _pick_blocks(z, y, xdim, impl)
+    blocks = _pick_blocks(z, y, xdim)
     if blocks is None:
         raise ValueError("unsupported shape")
     bz, by, bx = blocks
@@ -329,18 +165,8 @@ def pallas_conv3d_same(x, w, *, interpret: bool = False):
     coutp = -(-cout // 128) * 128
     xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (8, 8), (0, cp - c)))
     wp = jnp.pad(w, ((0, 0),) * 3 + ((0, cp - c), (0, coutp - cout)))
-    if impl == "wino":
-        # pre-transform the weights: wt[abc] = (G x G x G) w, [64, cp, coutp]
-        g = jnp.asarray([[1.0, 0.0, 0.0], [0.5, 0.5, 0.5],
-                         [0.5, -0.5, 0.5], [0.0, 0.0, 1.0]], jnp.float32)
-        wt = jnp.einsum("au,bv,cw,uvwio->abcio", g, g, g,
-                        wp.astype(jnp.float32))
-        wp = wt.reshape(64, cp, coutp)
-    elif impl == "tap3":
-        # [3, 3, 3, cp, coutp] -> [3, 3, 3*cp, coutp], dx-major ci-minor
-        wp = wp.reshape(3, 3, 3 * cp, coutp)
     call = _build(n, z, y, xdim, cp, coutp, str(x.dtype), bz, by, bx,
-                  interpret, impl)
+                  interpret)
     out = call(xpad, wp.astype(x.dtype))
     return out[..., :cout] if coutp != cout else out
 
@@ -460,7 +286,7 @@ def pallas_conv3d_same_wgrad(x, g, *, interpret: bool = False):
         raise ValueError("shape mismatch")
     if not interpret and jax.default_backend() != "tpu":
         raise ValueError("pallas conv requires a TPU backend")
-    blocks = _pick_blocks(z, y, xdim, "tap")
+    blocks = _pick_blocks(z, y, xdim)
     if blocks is None:
         raise ValueError("unsupported shape")
     bz, by, bx = blocks
@@ -666,7 +492,7 @@ def pallas_conv3d_same_affine(x, w, *, bias=None, in_scale=None,
     has_affine = in_scale is not None
     if has_affine != (in_shift is not None):
         raise ValueError("in_scale and in_shift must be given together")
-    blocks = _pick_blocks(z, y, xdim, "tap")
+    blocks = _pick_blocks(z, y, xdim)
     if blocks is None:
         raise ValueError("unsupported shape")
     bz, by, bx = blocks

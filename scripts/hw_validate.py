@@ -55,7 +55,6 @@ def main():
         ("packed+tap, no fused chain", {"MTTPU_FUSED_NORM": "0"}),
         ("packed+tap, no seghead", {"MTTPU_PALLAS_SEGHEAD": "0"}),
         ("packed only (no pallas)", {"MTTPU_PALLAS_CONV": "0"}),
-        ("wino impl", {"MTTPU_PALLAS_CONV_IMPL": "wino"}),
     ]
     for label, env in configs:
         saved = {}

@@ -33,7 +33,15 @@ def timeit(fn, *args, n=10, warmup=2):
 
 
 def probe_impls():
-    """Packed-stage conv (flagship stage0 shape) under each kernel impl."""
+    """Conv kernel impl A/B — delegated to scripts/conv_impl_arms.py, where
+    the measured-loser arms (sum/im2col/wino/tap3) now live; the production
+    kernel (ops/pallas_conv.py) keeps only the winning 'tap' schedule."""
+    import conv_impl_arms
+    conv_impl_arms.main()
+    return
+
+
+def _probe_impls_legacy():
     import jax
     import jax.numpy as jnp
     from multitalent_tpu.ops import pallas_conv as pcv
@@ -50,9 +58,7 @@ def probe_impls():
             xv = f(xv, wv)
         return xv
 
-    for impl in ("tap", "tap3", "wino", "sum", "im2col"):
-        os.environ["MTTPU_PALLAS_CONV_IMPL"] = impl
-        pcv._build.cache_clear()
+    for impl in ("tap",):
         f = jax.jit(lambda a, b: chained(a, b, pcv.pallas_conv3d_same))
         try:
             dt = timeit(f, xin, w, n=8) / 4
@@ -76,9 +82,7 @@ def probe_fwd():
     patch = (96, 192, 192)
     rng = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(rng, jnp.zeros((1, *patch, 1)))["params"]
-    for impl in ("tap", "im2col", "sum"):
-        os.environ["MTTPU_PALLAS_CONV_IMPL"] = impl
-        pcv._build.cache_clear()
+    for impl in ("tap",):
         apply_fn = make_inference_apply_fn(model)
         for b in (2, 4):
             xin = jnp.asarray(np.random.RandomState(0).randn(b, *patch, 1),

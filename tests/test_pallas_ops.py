@@ -121,27 +121,6 @@ def test_conv3d_same_fast_grads_use_xla_backward():
     np.testing.assert_allclose(gw_r, gw_f, atol=1e-5, rtol=1e-4)
 
 
-@pytest.mark.slow  # opt-in kernel (not the production path)
-def test_pallas_conv3d_wino_interpret_matches_lax(monkeypatch):
-    """Winograd F(2x2x2,3x3x3) impl vs lax.conv, interpret mode."""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-    from multitalent_tpu.ops import pallas_conv as pcv
-    monkeypatch.setenv("MTTPU_PALLAS_CONV_IMPL", "wino")
-    pcv._build.cache_clear()
-    rngl = np.random.RandomState(9)
-    for shape, co in [((1, 8, 8, 16, 8), 8), ((2, 4, 8, 16, 8), 16),
-                      ((1, 6, 12, 32, 16), 8)]:
-        x = jnp.asarray(rngl.randn(*shape).astype(np.float32))
-        w = jnp.asarray(rngl.randn(3, 3, 3, shape[-1], co).astype(np.float32))
-        ref = lax.conv_general_dilated(
-            x, w, (1, 1, 1), ((1, 1),) * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        got = pcv.pallas_conv3d_same(x, w, interpret=True)
-        np.testing.assert_allclose(ref, got, atol=2e-4, rtol=1e-3)
-    pcv._build.cache_clear()
-
 def test_pallas_seghead_d2s_interpret_matches_reference():
     """Fused seg-head (pointwise conv + depth-to-space) vs the two-op packed
     reference path, interpret mode, both packing factor layouts."""
