@@ -70,8 +70,11 @@ def test_cascade_sampler_and_trainer(tmp_path):
     assert probs.shape == (3, 10, 10, 10)
 
 
-def test_loss_variant_trainers_resolve_and_run(tmp_path):
-    _run_variant_trainers(tmp_path, ("nnUNetTrainerV2_Loss_CE",))
+@pytest.mark.slow  # a full trainer compile per variant; registry resolution
+def test_loss_variant_trainers_resolve_and_run(tmp_path):  # itself is covered
+    _run_variant_trainers(tmp_path, ("nnUNetTrainerV2_Loss_CE",))  # fast in
+    # test_core_contracts.py::test_registry / test_models.py, and a production
+    # trainer iteration runs fast in test_training.py::test_trainer_grad_step_*
 
 
 @pytest.mark.slow
@@ -97,7 +100,8 @@ def _run_variant_trainers(tmp_path, names):
         t.val_gen.stop()
 
 
-def test_no_deep_supervision_trainer(tmp_path):
+@pytest.mark.slow  # another full trainer compile; no-DS forward itself is
+def test_no_deep_supervision_trainer(tmp_path):  # covered in test_models
     from multitalent_tpu.registry import resolve_trainer
     dd = make_preprocessed(tmp_path)
     cls = resolve_trainer("nnUNetTrainerV2_noDeepSupervision")

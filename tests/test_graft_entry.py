@@ -9,7 +9,8 @@ import numpy as np
 import pytest
 
 
-def test_dryrun_multichip_8():
+@pytest.mark.slow  # ~18 s sharded train-step compile; the driver also runs
+def test_dryrun_multichip_8():  # dryrun_multichip(N) independently every round
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
 

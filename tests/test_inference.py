@@ -228,7 +228,8 @@ def trained_tiny(tmp_path_factory):
     return t, tmp_path
 
 
-def test_validate_end_to_end(trained_tiny):
+@pytest.mark.slow  # full validate() = another sliding-window compile; the
+def test_validate_end_to_end(trained_tiny):  # cheaper predict_from_folder keeps fast coverage
     import os
     t, tmp_path = trained_tiny
     summary = t.validate(save_softmax=False, run_postprocessing_on_folds=True)

@@ -17,26 +17,44 @@ def _make(num_classes=3, base=8, deep_supervision=True):
         max_num_features=320, deep_supervision=deep_supervision, dtype=jnp.float32)
 
 
-def test_forward_shapes_deep_supervision():
-    net = _make()
-    x = jnp.zeros((2, 8, 16, 16, 1))
+def test_forward_shapes_ds_nods_and_grads():
+    """DS output shapes, no-DS == full-res head, finite nonzero gradients —
+    one jitted program (three separate tests each paid a full XLA:CPU
+    compile of the same net; merged they compile once)."""
+    net = _make(base=4)
+    x = jnp.ones((2, 8, 16, 16, 1))
     params = net.init(jax.random.PRNGKey(0), x)
-    outs = net.apply(params, x)
+
+    @jax.jit
+    def fwd_and_grad(p):
+        outs = net.apply(p, x)
+        single = net.apply(p, x, deep_supervision=False)
+        g = jax.grad(
+            lambda q: sum(jnp.mean(o ** 2) for o in net.apply(q, x)))(p)
+        return outs, single, g
+
+    outs, single, g = fwd_and_grad(params)
     assert isinstance(outs, list) and len(outs) == 3
     assert outs[0].shape == (2, 8, 16, 16, 3)
-    assert outs[1].shape == (2, 8 // 1, 8, 8, 3)[0:1] + (4, 8, 8, 3)  # pool (1,2,2) is last decoder up
     # resolution halves per DS level following pool kernels from the top
-    assert outs[1].shape == (2, 4, 8, 8, 3)
+    assert outs[1].shape == (2, 4, 8, 8, 3)  # pool (1,2,2) is last decoder up
     assert outs[2].shape == (2, 2, 4, 4, 3)
     assert outs[0].dtype == jnp.float32
+    assert single.shape == (2, 8, 16, 16, 3)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(outs[0]))
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
-def test_forward_no_ds():
-    net = _make(deep_supervision=False)
-    x = jnp.zeros((1, 8, 16, 16, 1))
+def test_forward_no_ds_constructor():
+    """The constructor-level deep_supervision=False path (no call-time
+    override) returns a single full-res tensor."""
+    net = _make(deep_supervision=False, base=4)
+    x = jnp.zeros((1, 4, 8, 8, 1))
     params = net.init(jax.random.PRNGKey(0), x)
-    out = net.apply(params, x)
-    assert out.shape == (1, 8, 16, 16, 3)
+    out = jax.jit(net.apply)(params, x)
+    assert out.shape == (1, 4, 8, 8, 3)
 
 
 def test_stage_features_cap():
@@ -76,22 +94,6 @@ def test_param_count_matches_reference_formula():
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 1)))
     actual = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     assert actual == expected
-
-
-def test_gradients_flow_and_jit():
-    net = _make(base=4)
-    x = jnp.ones((1, 8, 16, 16, 1))
-    params = net.init(jax.random.PRNGKey(0), x)
-
-    @jax.jit
-    def loss_fn(p):
-        outs = net.apply(p, x)
-        return sum(jnp.mean(o ** 2) for o in outs)
-
-    g = jax.grad(loss_fn)(params)
-    leaves = jax.tree.leaves(g)
-    assert all(np.all(np.isfinite(l)) for l in leaves)
-    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
 def test_instance_norm_normalizes_per_sample():

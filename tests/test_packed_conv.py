@@ -110,8 +110,11 @@ def _unet(pools, ds=False, base=4, dtype=jnp.float32):
 
 
 @pytest.mark.parametrize("pools,patch,pmc", [
-    # the MultiTalent pool topology scaled down, all stages packed
-    ((((2, 2, 2),) * 2 + ((1, 2, 2),)), (8, 16, 16), 256),
+    # the MultiTalent pool topology scaled down, all stages packed (3-stage:
+    # the deepest compile of the suite -> slow; the production-policy and
+    # anisotropic cases below keep fast-gate coverage of the same machinery)
+    pytest.param((((2, 2, 2),) * 2 + ((1, 2, 2),)), (8, 16, 16), 256,
+                 marks=pytest.mark.slow),
     # production policy: stage 0 only
     ((((2, 2, 2),) * 2 + ((1, 2, 2),)), (8, 16, 16), 128),
     # anisotropic first pool
@@ -152,10 +155,21 @@ def test_packed_unet_forward_matches_apply(pools, patch, pmc):
     assert err_packed <= max(3 * err_plain, 1e-4), (err_packed, err_plain)
 
 
-def test_packed_unet_mixed_factor_stages():
+def test_mixed_factor_stage_policy():
     """base 40 with pack_max_channels=128: stage0 runs (1,2)-packed (2*40=80
     fits, 4*40 overshoots) and deeper stages unpacked — the mixed-factor
-    production policy for the C=60 stages of base-30 nets."""
+    production policy for the C=60 stages of base-30 nets (pure policy
+    check, no compiles)."""
+    from multitalent_tpu.ops.packed_unet import stage_factors
+    pools = ((2, 2, 2), (1, 2, 2))
+    model = _unet(pools, base=40)
+    patch = (4, 8, 8)
+    assert stage_factors(model, patch, 128) == [(1, 2), (1, 1)]
+
+
+@pytest.mark.slow  # two full forward compiles just for the mixed-factor case
+def test_packed_unet_mixed_factor_stages():
+    """Forward parity under the mixed-factor policy asserted above."""
     from multitalent_tpu.ops.packed_unet import stage_factors
     pools = ((2, 2, 2), (1, 2, 2))
     model = _unet(pools, base=40)
@@ -216,30 +230,49 @@ def test_make_inference_apply_fn_selects_packed(monkeypatch):
     np.testing.assert_array_equal(fn_bn(params_bn, x), ref_bn)
 
 
+def test_packed_train_forward_grads_match_fast(monkeypatch):
+    """Fast-gate grad signal: grads through the packed forward equal grads
+    through model.apply on a single-stage net (one encoder + bottleneck +
+    one decoder — every packed-train op kind, a quarter of the compile)."""
+    _check_packed_train_grads(monkeypatch, pools=((2, 2, 2),), ds=False)
+
+
+@pytest.mark.slow  # two deep-supervision grad graphs ~50 s to compile on CPU
 def test_packed_train_forward_grads_match(monkeypatch):
     """Training integration: grads through the packed forward equal grads
-    through model.apply (fp32, deep supervision on)."""
+    through model.apply (fp32, deep supervision on, two pool stages)."""
+    _check_packed_train_grads(monkeypatch, pools=((2, 2, 2), (1, 2, 2)),
+                              ds=True)
+
+
+def _check_packed_train_grads(monkeypatch, pools, ds):
     from multitalent_tpu.ops.packed_unet import make_train_forward_fn
     monkeypatch.setenv("MTTPU_PACKED_TRAIN", "1")
-    pools = ((2, 2, 2), (1, 2, 2))
-    model = _unet(pools, ds=True)
+    model = _unet(pools, ds=ds)
     x = jnp.asarray(rng.randn(2, 4, 8, 8, 1).astype(np.float32))
     params = model.init(jax.random.PRNGKey(3), x)["params"]
+
+    def _as_list(outs):
+        return outs if isinstance(outs, (list, tuple)) else [outs]
+
     tgt = [jnp.asarray(rng.randn(*np.asarray(s).shape).astype(np.float32))
-           for s in model.apply({"params": params}, x, deep_supervision=True)]
+           for s in _as_list(model.apply({"params": params}, x,
+                                         deep_supervision=ds))]
 
     def loss_apply(p):
-        outs = model.apply({"params": p}, x, deep_supervision=True)
+        outs = _as_list(model.apply({"params": p}, x, deep_supervision=ds))
         return sum(jnp.mean((o - t) ** 2) for o, t in zip(outs, tgt))
 
     fwd = make_train_forward_fn(model)
 
     def loss_packed(p):
-        outs = fwd(p, x)
+        outs = _as_list(fwd(p, x))
         return sum(jnp.mean((o - t) ** 2) for o, t in zip(outs, tgt))
 
-    g_ref = jax.grad(loss_apply)(params)
-    g_pk = jax.grad(loss_packed)(params)
+    # one jitted program for both grad graphs: eager jax.grad pays per-op
+    # dispatch + compile over hundreds of ops on the 1-core CPU host
+    g_ref, g_pk = jax.jit(lambda p: (jax.grad(loss_apply)(p),
+                                     jax.grad(loss_packed)(p)))(params)
     flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
     flat_pk = jax.tree_util.tree_leaves(g_pk)
     # normalize by the global gradient scale: conv biases feeding InstanceNorm
@@ -282,14 +315,15 @@ def _flip_equivalence_check(combos, pools):
 
 
 def test_weight_flip_forward_equivalence():
-    # one z-flip (asymmetric strided pads on the unpacked z axis) and the
-    # full 3-axis flip; the remaining combos run in the slow gate
-    _flip_equivalence_check([(0,), (0, 1, 2)], ((2, 2, 2), (1, 2, 2)))
+    # the full 3-axis flip exercises the asymmetric strided pads on the
+    # unpacked z axis AND both packed axes in one compile; per-axis combos
+    # run in the slow gate
+    _flip_equivalence_check([(0, 1, 2)], ((2, 2, 2), (1, 2, 2)))
 
 
 @pytest.mark.slow
 def test_weight_flip_forward_equivalence_all_combos():
-    _flip_equivalence_check([(1,), (2,), (0, 1), (0, 2), (1, 2)],
+    _flip_equivalence_check([(0,), (1,), (2,), (0, 1), (0, 2), (1, 2)],
                             ((2, 2, 2), (1, 2, 2), (2, 2, 2)))
 
 

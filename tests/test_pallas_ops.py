@@ -64,16 +64,24 @@ def test_dynamic_task_prioritization_loss():
     logits = jnp.asarray(rng.randn(2, 8, 8, 8, 4), jnp.float32)
     labels = jnp.asarray(rng.randint(0, 4, (2, 8, 8, 8)), jnp.int32)
     running = jnp.zeros((3,), jnp.float32)
-    loss, new_running = dynamic_task_prioritization_loss(logits, labels, running)
+
+    @jax.jit  # one program: eager per-op dispatch dominates on the CPU host
+    def run(lg):
+        loss, new_running = dynamic_task_prioritization_loss(lg, labels,
+                                                             running)
+        _, frozen = dynamic_task_prioritization_loss(lg, labels, running,
+                                                     update_kpi=False)
+        g = jax.grad(lambda l: dynamic_task_prioritization_loss(
+            l, labels, running)[0])(lg)
+        return loss, new_running, frozen, g
+
+    loss, new_running, frozen, g = run(logits)
     assert np.isfinite(float(loss))
     # KPI moved toward the observed dice for present classes
     assert np.any(np.asarray(new_running) != 0)
     # update_kpi=False leaves the KPI untouched (only lowest DS level updates it)
-    _, frozen = dynamic_task_prioritization_loss(logits, labels, running,
-                                                 update_kpi=False)
     np.testing.assert_array_equal(np.asarray(frozen), np.asarray(running))
     # gradient flows
-    g = jax.grad(lambda lg: dynamic_task_prioritization_loss(lg, labels, running)[0])(logits)
     assert np.all(np.isfinite(np.asarray(g)))
 
 

@@ -144,7 +144,9 @@ def test_constrained_augment_values_unchanged():
     rng = jax.random.PRNGKey(12345 + 777)
     d_sh = jax.device_put(data, plan.volume_sharding)
     s_sh = jax.device_put(seg, plan.volume_sharding)
-    for _ in range(6):
+    # 4 draws ~= 94% chance of hitting a miscompiling rotation pattern (each
+    # draw trips it w.p. ~0.5); execution of the 8-device warp is the cost
+    for _ in range(4):
         rng, sub = jax.random.split(rng)
         xc = np.asarray(f_c(sub, d_sh, s_sh), np.float32)
         xp = np.asarray(f_p(sub, data, seg), np.float32)

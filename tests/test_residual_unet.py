@@ -19,17 +19,30 @@ def _make(num_classes=3):
         dtype=jnp.float32)
 
 
-def test_resenc_ds_output_shapes():
+def test_resenc_ds_shapes_and_grads():
+    """DS output shapes, no-DS == full-res head, finite nonzero grads — one
+    jitted program (two separate tests each paid the same XLA:CPU compile)."""
     net = _make()
-    x = jnp.zeros((1, 4, 8, 8, 1))
+    x = jnp.ones((1, 4, 8, 8, 1))
     params = net.init(jax.random.PRNGKey(0), x)
-    outs = net.apply(params, x)
+
+    @jax.jit
+    def fwd_and_grad(p):
+        outs = net.apply(p, x)
+        single = net.apply(p, x, deep_supervision=False)
+        g = jax.grad(
+            lambda q: sum(jnp.mean(o ** 2) for o in net.apply(q, x)))(p)
+        return outs, single, g
+
+    outs, single, g = fwd_and_grad(params)
     # 3 stages -> 2 decoder stages -> 2 DS outputs, highest resolution first
     assert len(outs) == 2
     assert outs[0].shape == (1, 4, 8, 8, 3)
     assert outs[1].shape == (1, 4, 4, 4, 3)
-    single = net.apply(params, x, deep_supervision=False)
     np.testing.assert_array_equal(np.asarray(single), np.asarray(outs[0]))
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
 def test_residual_block_zero_init_is_projected_identity():
@@ -71,47 +84,39 @@ def test_build_from_resenc_plans():
     assert len(outs) == 2 and outs[0].shape[-1] == 3  # 2 classes + bg
 
 
-def test_resenc_gradients_flow():
-    net = _make()
-    x = jnp.ones((1, 4, 8, 8, 1))
-    params = net.init(jax.random.PRNGKey(0), x)
-
-    @jax.jit
-    def loss_fn(p):
-        outs = net.apply(p, x)
-        return sum(jnp.mean(o ** 2) for o in outs)
-
-    g = jax.grad(loss_fn)(params)
-    leaves = jax.tree.leaves(g)
-    assert all(np.all(np.isfinite(l)) for l in leaves)
-    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
-
-
-def test_mednext_shapes_and_grads():
-    """MedNeXt backbone: 5 DS outputs at dyadic scales, finite gradients.
-
-    One jitted value_and_grad program: op-by-op dispatch of the deep
-    ConvNeXt stack dominates wall time on the CPU test platform."""
+def _mednext_net_and_input():
     from multitalent_tpu.models.mednext import MedNeXt
     net = MedNeXt(in_channels=1, n_channels=4, n_classes=3,
                   exp_r=(2,) * 9, block_counts=(1,) * 9, remat=False,
                   dtype=jnp.float32)
-    x = jnp.zeros((1, 16, 16, 16, 1))
+    return net, jnp.zeros((1, 16, 16, 16, 1))
+
+
+def test_mednext_forward_shapes():
+    """MedNeXt backbone: 5 DS outputs at dyadic scales; no-DS output equals
+    the full-resolution head (grads split into a slow test: the backward
+    graph of the deep ConvNeXt stack triples the XLA:CPU compile)."""
+    net, x = _mednext_net_and_input()
     params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
 
     @jax.jit
-    def fwd_and_grad(p):
-        outs = net.apply(p, x)
-        single = net.apply(p, x, deep_supervision=False)
-        g = jax.grad(lambda q: sum(jnp.mean(o ** 2) for o in net.apply(q, x)))(p)
-        return outs, single, g
+    def fwd(p):
+        return net.apply(p, x), net.apply(p, x, deep_supervision=False)
 
-    outs, single, g = fwd_and_grad(params)
+    outs, single = fwd(params)
     assert len(outs) == 5
     assert outs[0].shape == (1, 16, 16, 16, 3)
     assert outs[4].shape == (1, 1, 1, 1, 3)
-    assert all(np.isfinite(l).all() for l in jax.tree.leaves(g))
     np.testing.assert_array_equal(np.asarray(single), np.asarray(outs[0]))
+
+
+@pytest.mark.slow
+def test_mednext_grads_finite():
+    net, x = _mednext_net_and_input()
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
+    g = jax.jit(jax.grad(
+        lambda q: sum(jnp.mean(o ** 2) for o in net.apply(q, x))))(params)
+    assert all(np.isfinite(l).all() for l in jax.tree.leaves(g))
 
 
 def _swin_net_and_input():
@@ -123,10 +128,12 @@ def _swin_net_and_input():
 
 
 def test_swin_unetr_forward_shapes():
-    """SwinUNETR: shifted-window attention encoder + UNETR decoder."""
+    """SwinUNETR: shifted-window attention encoder + UNETR decoder.
+    init+apply fused in one jitted program: two programs = two full
+    XLA:CPU compiles of the attention stack."""
     net, x = _swin_net_and_input()
-    params = jax.jit(net.init)(jax.random.PRNGKey(0), x)
-    out = jax.jit(net.apply)(params, x)
+    out = jax.jit(lambda k: net.apply(net.init(k, x), x))(
+        jax.random.PRNGKey(0))
     assert out.shape == (1, 32, 32, 32, 3)
 
 

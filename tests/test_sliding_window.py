@@ -297,60 +297,83 @@ def test_fetch_packed_rle_roundtrip():
         np.testing.assert_array_equal(rle_fetch_finish(token), packed)
 
 
-def test_packed_accumulation_matches_plain():
-    """The packed-space accumulation path (apply_fn emitting space-to-depth
-    packed logits + packed accumulators/gaussian/TTA-unflip) must reproduce
-    the plain path bit-for-bit up to accumulator precision on a real packed
-    GenericUNet forward."""
-    import os
+def _packed_engine_setup():
+    """Shared setup for the packed-accumulation tests: a real packed
+    GenericUNet (pfac (2,2)) plus the plain/packed apply fns."""
     import jax
     import jax.numpy as jnp
     from multitalent_tpu.models.generic_unet import GenericUNet
     from multitalent_tpu.ops.packed_unet import (
         make_inference_apply_fn, make_packed_inference_apply_fn)
 
+    pools = ((2, 2, 2), (1, 2, 2))
+    model = GenericUNet(input_channels=1, base_num_features=8,
+                        num_classes=5, pool_op_kernel_sizes=pools,
+                        conv_kernel_sizes=((3, 3, 3),) * 3,
+                        deep_supervision=False, dtype=jnp.float32)
+    patch = (8, 16, 16)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1)))["params"]
+    apply_fn = make_inference_apply_fn(model)
+    pfn, pfac = make_packed_inference_apply_fn(model, patch)
+    assert pfn is not None and pfac == (2, 2)
+    base = dict(patch_size=patch, in_channels=1, num_classes=5,
+                nonlin="sigmoid", step_size=0.5, do_mirroring=True,
+                use_gaussian=True)
+    return params, apply_fn, (pfn, pfac), base
+
+
+def test_packed_accumulation_matches_plain():
+    """The packed-space accumulation path (apply_fn emitting space-to-depth
+    packed logits + packed accumulators/gaussian/TTA-unflip) must reproduce
+    the plain path bit-for-bit up to accumulator precision on a real packed
+    GenericUNet forward."""
+    import os
+
     os.environ["MTTPU_PACKED_CONV"] = "1"  # packed path is TPU-default only
     try:
-        pools = ((2, 2, 2), (1, 2, 2))
-        model = GenericUNet(input_channels=1, base_num_features=8,
-                            num_classes=5, pool_op_kernel_sizes=pools,
-                            conv_kernel_sizes=((3, 3, 3),) * 3,
-                            deep_supervision=False, dtype=jnp.float32)
-        patch = (8, 16, 16)
-        params = jax.jit(model.init)(
-            jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1)))["params"]
-        apply_fn = make_inference_apply_fn(model)
-        pfn, pfac = make_packed_inference_apply_fn(model, patch)
-        assert pfn is not None and pfac == (2, 2)
-
-        base = dict(patch_size=patch, in_channels=1, num_classes=5,
-                    nonlin="sigmoid", step_size=0.5, do_mirroring=True,
-                    use_gaussian=True)
+        params, apply_fn, packed_apply, base = _packed_engine_setup()
+        # z (unpacked) + x (packed) mirror axes: halves the XLA:CPU compile of
+        # both engine programs vs (0,1,2); the y-axis unflip shares the packed
+        # code path with x and runs in the slow odd-extent test's full combos
+        base["mirror_axes"] = (0, 2)
         vol = np.random.RandomState(7).randn(1, 12, 32, 24).astype(np.float32)
         plain = SlidingWindowPredictor(apply_fn, **base)(params, vol)
-        packed = SlidingWindowPredictor(apply_fn, packed_apply=(pfn, pfac),
+        packed = SlidingWindowPredictor(apply_fn, packed_apply=packed_apply,
                                         **base)(params, vol)
         assert packed.shape == plain.shape == (5, 12, 32, 24)
         np.testing.assert_allclose(packed, plain, atol=2e-3)
-
-        # odd X extent: offsets/dims don't divide -> silent fallback to plain
-        vol_odd = np.random.RandomState(8).randn(1, 12, 32, 17).astype(
-            np.float32)
-        plain_o = SlidingWindowPredictor(apply_fn, **base)(params, vol_odd)
-        packed_o = SlidingWindowPredictor(apply_fn, packed_apply=(pfn, pfac),
-                                          **base)(params, vol_odd)
-        np.testing.assert_allclose(packed_o, plain_o, atol=2e-3)
 
         # bit-packed threshold export agrees wherever the probability is not
         # within accumulator precision of the 0.5 threshold: the packed
         # engine's f16 TTA sum (the same trade the reference's all_in_gpu
         # fp16 mode makes) may flip bits for probs within ~1e-3 of 0.5 —
         # plentiful on white-noise inputs, measure-zero on real volumes
-        pp = SlidingWindowPredictor(apply_fn, packed_apply=(pfn, pfac), **base)
+        pp = SlidingWindowPredictor(apply_fn, packed_apply=packed_apply,
+                                    **base)
         masks = pp.predict_regions_packed(params, vol)
         plain_np = np.asarray(plain, np.float32)
         decided = np.abs(plain_np - 0.5) > 2e-3
         np.testing.assert_array_equal(masks[decided], (plain_np > 0.5)[decided])
         assert decided.mean() > 0.95  # the check must still cover the volume
+    finally:
+        os.environ.pop("MTTPU_PACKED_CONV", None)
+
+
+@pytest.mark.slow  # an extra volume shape = two more XLA:CPU compiles
+def test_packed_accumulation_odd_extent_falls_back():
+    """Odd X extent: packed offsets/dims don't divide the (2,2) factors, so
+    the engine must silently fall back to the plain path and still match."""
+    import os
+
+    os.environ["MTTPU_PACKED_CONV"] = "1"
+    try:
+        params, apply_fn, packed_apply, base = _packed_engine_setup()
+        vol_odd = np.random.RandomState(8).randn(1, 12, 32, 17).astype(
+            np.float32)
+        plain_o = SlidingWindowPredictor(apply_fn, **base)(params, vol_odd)
+        packed_o = SlidingWindowPredictor(apply_fn, packed_apply=packed_apply,
+                                          **base)(params, vol_odd)
+        np.testing.assert_allclose(packed_o, plain_o, atol=2e-3)
     finally:
         os.environ.pop("MTTPU_PACKED_CONV", None)
