@@ -155,6 +155,23 @@ def prepare_packed_conv3d(w: jax.Array, x_shape, *, factors=(F, F),
     pcin = int(x_shape[-1])
     if (sparse and kz == 3 and w.shape[1:3] == (3, 3)
             and tuple(factors) in ((2, 2), (1, 2))):
+        # merged-tap kernel: 12 GEMMs instead of 27, zero lane movement
+        # (per-lane selects of shifted halo views) — the winning rework of
+        # the lane-gather sparse kernel below. Adjudicated on v5e
+        # (scripts/merged_conv_probe.py, queue-timed): WINS only for (2,2)
+        # single-K-tile convs (stage-0-class, 120->128 lanes: 5.78 -> 3.58
+        # ms, 1.61x); the 256-lane grouped decoder conv LOSES 0.49x (select
+        # passes scale with lanes) and (1,2) loses 0.83x (smaller GEMM
+        # saving than its select overhead) — both stay on the dense kernel.
+        from multitalent_tpu.ops import pallas_merged_conv as pmc
+        if (pmc.merged_conv_enabled() and jax.default_backend() == "tpu"
+                and tuple(factors) == (2, 2) and pcin <= 128):
+            from multitalent_tpu.ops.pallas_conv import _pick_blocks
+            if _pick_blocks(int(x_shape[1]), int(x_shape[2]),
+                            int(x_shape[3])) is not None:
+                return {"kind": "merged",
+                        "prep": pmc.prepare_merged(w, tuple(factors),
+                                                   in_groups)}
         from multitalent_tpu.ops import pallas_sparse_conv as psc
         if psc.sparse_conv_enabled():
             blocks = psc._pick_blocks(int(x_shape[1]), int(x_shape[2]),
@@ -186,6 +203,10 @@ def apply_packed_conv3d(x_packed: jax.Array, prepared: dict) -> jax.Array:
     """Run packed_conv3d from prepare_packed_conv3d's arrays (weight
     transforms already materialized)."""
     kind = prepared["kind"]
+    if kind == "merged":
+        from multitalent_tpu.ops.pallas_merged_conv import (
+            pallas_packed_conv3d_merged)
+        return pallas_packed_conv3d_merged(x_packed, prepared["prep"])
     if kind == "sparse":
         from multitalent_tpu.ops import pallas_sparse_conv as psc
         try:
@@ -233,6 +254,18 @@ def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
     kz = w.shape[0]
     if (sparse and kz == 3 and w.shape[1:3] == (3, 3) and precision is None
             and tuple(factors) in ((2, 2), (1, 2))):
+        from multitalent_tpu.ops import pallas_merged_conv as pmc
+        if (pmc.merged_conv_enabled() and jax.default_backend() == "tpu"
+                and tuple(factors) == (2, 2) and x_packed.shape[-1] <= 128):
+            # weight transform rebuilt inline — callers inside tile loops
+            # must use the prepare/apply pair instead (gating mirrors
+            # prepare_packed_conv3d: (2,2) single-K-tile convs only)
+            try:
+                return pmc.pallas_packed_conv3d_merged(
+                    x_packed, pmc.prepare_merged(w, tuple(factors),
+                                                 in_groups))
+            except ValueError:
+                pass  # unsupported shape: fall through
         from multitalent_tpu.ops.pallas_sparse_conv import (
             pallas_packed_conv3d_sparse, sparse_conv_enabled)
         if sparse_conv_enabled():

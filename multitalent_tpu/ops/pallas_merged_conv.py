@@ -1,0 +1,294 @@
+"""Merged-tap GEMM conv for space-to-depth packed stages — gather-free.
+
+The dense packed conv (ops/packed_conv.py + ops/pallas_conv.py) runs 27
+[M, P*C] x [P*C, P*C] tap GEMMs whose weights are block-sparse in the phase
+structure: packing (fy, fx) phases into lanes multiplies the executed FLOPs by
+P = fy*fx. The first exploit attempt (ops/pallas_sparse_conv.py) compacted
+phase subsets into narrower GEMMs via in-kernel lane gathers and LOST on v5e:
+Mosaic lowers lane rotations as full-block relayout copies (~17 ms VPU against
+~7 ms GEMM saved per stage-0 conv, documentation/performance_notes.md).
+
+This kernel merges taps WITHOUT moving a single lane. Two packed taps whose
+nonzero (input-phase -> output-phase) blocks are disjoint in BOTH rows and
+columns can share one [P*C, P*C] GEMM whose weight is simply the SUM of the
+two dense packed tap matrices — provided each input lane carries the value
+from the spatial shift its phase needs. That per-lane choice is a
+jnp.where(mask, shifted_view_a, shifted_view_b) between two halo-window
+slices: a pure VPU select with sublane-broadcast mask, no lane movement. The
+shifts themselves are the same z/y (major-dim) and x (sublane offset 7/8/9)
+slices the dense tap kernel already takes.
+
+  (2,2) packing — per z-tap: center (dense, 1 GEMM) + y-edges (2 taps -> 1,
+  mask on py) + x-edges (2 -> 1, mask on px) + corners (4 -> 1, nested mask)
+  = 4 GEMMs; 12 total instead of 27 (executed-FLOP ratio 4x -> 1.78x).
+
+  (1,2) packing — per (z, y)-tap: x-center + merged x-edges = 2 GEMMs;
+  18 total instead of 27 (2x -> 1.33x).
+
+Every GEMM stays [M, 128] x [128, 128] (full MXU tiles); the win is pure
+GEMM-count reduction at ~zero VPU cost. Forward/inference only, like the
+other packed kernels: training keeps the dense path whose backward rides the
+Pallas dx/wgrad kernels. Reference for the op computed:
+nnunet/network_architecture/generic_UNet.py:28-144 (ConvDropoutNormNonlin);
+the schedule is TPU-native with no reference analog.
+"""
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def merged_conv_enabled() -> bool:
+    """Default ON for TPU backends once adjudicated; MTTPU_PALLAS_MERGED
+    forces on/off."""
+    import os
+    val = os.environ.get("MTTPU_PALLAS_MERGED")
+    if val is not None:
+        return val != "0"
+    return jax.devices()[0].platform == "tpu"
+
+
+def _n_groups(factors) -> int:
+    return 4 if tuple(factors) == (2, 2) else 6
+
+
+def merged_weights_from_packed(wp: jax.Array, factors) -> jax.Array:
+    """Dense packed weight [3, 3, 3, P*Cin, P*Cout] (pack_conv_weights output)
+    -> merged GEMM stack [3, G, P*Cin, P*Cout].
+
+    Merged groups sum taps whose phase blocks are disjoint in both input and
+    output lanes (guaranteed by the phase-tap structure for f=2, k=3), so the
+    sum never overlaps a nonzero entry."""
+    fy, fx = int(factors[0]), int(factors[1])
+    assert wp.shape[:3] == (3, 3, 3), wp.shape
+    if (fy, fx) == (2, 2):
+        groups = [
+            wp[:, 1, 1],                                            # center
+            wp[:, 0, 1] + wp[:, 2, 1],                              # y-edges
+            wp[:, 1, 0] + wp[:, 1, 2],                              # x-edges
+            wp[:, 0, 0] + wp[:, 0, 2] + wp[:, 2, 0] + wp[:, 2, 2],  # corners
+        ]
+    elif (fy, fx) == (1, 2):
+        groups = []
+        for dy in range(3):
+            groups.append(wp[:, dy, 1])                    # x-center at dy
+            groups.append(wp[:, dy, 0] + wp[:, dy, 2])     # x-edges at dy
+    else:
+        raise ValueError(f"unsupported factors {(fy, fx)}")
+    return jnp.stack(groups, axis=1)
+
+
+def phase_masks(factors, cin: int, in_groups=None) -> tuple[np.ndarray, np.ndarray]:
+    """Per-lane (py==1, px==1) masks for the tight packed lane layout
+    (phase-major, or pack_conv_weights' group-concat layout when in_groups is
+    given). Returned as float32 [P*Cin] (1.0 = phase 1)."""
+    fy, fx = int(factors[0]), int(factors[1])
+    p = fy * fx
+    if in_groups is None:
+        in_groups = (cin,)
+    assert sum(in_groups) == cin, (in_groups, cin)
+    py, px = [], []
+    for g in in_groups:
+        for q in range(p):
+            py.extend([float(q // fx == 1)] * g)
+            px.extend([float(q % fx == 1)] * g)
+    return (np.asarray(py, np.float32), np.asarray(px, np.float32))
+
+
+def _merged_kernel(x_ref, w_ref, my_ref, mx_ref, out_ref, xblk, sems, *,
+                   bz, by, bx, c, cout, zb, yb, xb, scheme):
+    """Same manual-DMA double-buffered halo pipeline as
+    pallas_conv._conv_kernel; the inner loop runs merged-group GEMMs on
+    per-lane selects of shifted halo views instead of 27 per-tap GEMMs."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    g = (i * yb + j) * xb + k
+    n_steps = pl.num_programs(0) * yb * xb
+    slot = jax.lax.rem(g, 2)
+
+    def start_fetch(step, slot):
+        kk = jax.lax.rem(step, xb)
+        jj = jax.lax.rem(step // xb, yb)
+        ii = step // (xb * yb)
+        dma = pltpu.make_async_copy(
+            x_ref.at[ii // zb, pl.ds(jax.lax.rem(ii, zb) * bz, bz + 2),
+                     pl.ds(jj * by, by + 2), pl.ds(kk * bx, bx + 16), :],
+            xblk.at[slot], sems.at[slot])
+        dma.start()
+        return dma
+
+    @pl.when(g == 0)
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when(g + 1 < n_steps)
+    def _():
+        start_fetch(g + 1, 1 - slot)
+
+    pltpu.make_async_copy(x_ref.at[0, pl.ds(0, bz + 2), pl.ds(0, by + 2),
+                                   pl.ds(0, bx + 16), :],
+                          xblk.at[slot], sems.at[slot]).wait()
+
+    M = bz * by * bx
+
+    def _finish(acc):
+        out_ref[0] = acc[:].reshape(bz, by, bx, cout).astype(out_ref.dtype)
+
+    if scheme == "22":
+        def body(acc, xy, xx, xc):
+            # Build each merged view ONCE per block into VMEM scratch (per-dz
+            # GEMMs then slice only the z halo, which is free tile indexing):
+            # computing the selects per dz instead materializes 3x the
+            # relayout temporaries and eats the GEMM savings (measured 1.07x
+            # end-to-end on v5e; this version reaches the tap-count ratio).
+            my = (my_ref[0, :] > 0.5).reshape(1, 1, 1, c)
+            mx = (mx_ref[0, :] > 0.5).reshape(1, 1, 1, c)
+            xv = xblk[slot]
+            # y-edges: py=1 lanes need the y-1 cell, py=0 the y+1 cell
+            xy[:] = jnp.where(my, xv[:, 0:by, 8:8 + bx, :],
+                              xv[:, 2:by + 2, 8:8 + bx, :])
+            # x-edges: px=1 lanes need x-1, px=0 x+1
+            xx[:] = jnp.where(mx, xv[:, 1:1 + by, 7:7 + bx, :],
+                              xv[:, 1:1 + by, 9:9 + bx, :])
+            # corners: quadrant (py, px) -> (y -/+ 1, x -/+ 1)
+            xc[:] = jnp.where(
+                my,
+                jnp.where(mx, xv[:, 0:by, 7:7 + bx, :],
+                          xv[:, 0:by, 9:9 + bx, :]),
+                jnp.where(mx, xv[:, 2:by + 2, 7:7 + bx, :],
+                          xv[:, 2:by + 2, 9:9 + bx, :]))
+            acc[:] = jnp.zeros_like(acc)
+            for dz in range(3):
+                acc[:] += jnp.dot(
+                    xv[dz:dz + bz, 1:1 + by, 8:8 + bx, :].reshape(M, c),
+                    w_ref[dz, 0], preferred_element_type=jnp.float32)
+                for g, buf in ((1, xy), (2, xx), (3, xc)):
+                    acc[:] += jnp.dot(buf[dz:dz + bz].reshape(M, c),
+                                      w_ref[dz, g],
+                                      preferred_element_type=jnp.float32)
+            _finish(acc)
+
+        pl.run_scoped(body, pltpu.VMEM((M, cout), jnp.float32),
+                      *([pltpu.VMEM((bz + 2, by, bx, c), xblk.dtype)] * 3))
+    else:  # "12": y unpacked, merge x only (full y halo kept for dy slicing)
+        def body(acc, xx):
+            mx = (mx_ref[0, :] > 0.5).reshape(1, 1, 1, c)
+            xv = xblk[slot]
+            xx[:] = jnp.where(mx, xv[:, :, 7:7 + bx, :],
+                              xv[:, :, 9:9 + bx, :])
+            acc[:] = jnp.zeros_like(acc)
+            for dz in range(3):
+                for dy in range(3):
+                    acc[:] += jnp.dot(
+                        xv[dz:dz + bz, dy:dy + by, 8:8 + bx, :].reshape(M, c),
+                        w_ref[dz, 2 * dy], preferred_element_type=jnp.float32)
+                    acc[:] += jnp.dot(
+                        xx[dz:dz + bz, dy:dy + by].reshape(M, c),
+                        w_ref[dz, 2 * dy + 1],
+                        preferred_element_type=jnp.float32)
+            _finish(acc)
+
+        pl.run_scoped(body, pltpu.VMEM((M, cout), jnp.float32),
+                      pltpu.VMEM((bz + 2, by + 2, bx, c), xblk.dtype))
+
+
+@lru_cache(maxsize=32)
+def _build(n, z, y, x, c, cout, dtype_name, bz, by, bx, scheme,
+           interpret=False):
+    dtype = jnp.dtype(dtype_name)
+    zb = z // bz
+    yb = y // by
+    xb = x // bx
+    grid = (n * zb, yb, xb)
+    ngemm = 12 if scheme == "22" else 18
+    kernel = partial(_merged_kernel, bz=bz, by=by, bx=bx, c=c, cout=cout,
+                     zb=zb, yb=yb, xb=xb, scheme=scheme)
+    flops = 2 * ngemm * c * cout * n * z * y * x
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # padded input, manual DMA
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # merged weights resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # py mask [8, c]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # px mask [8, c]
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bz, by, bx, cout),
+            lambda i, j, k, zb=zb: (i // zb, i % zb, j, k, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, z, y, x, cout), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bz + 2, by + 2, bx + 16, c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(n * (z + 2) * (y + 2) * (x + 16) * c * 2
+                            + n * z * y * x * cout * 2),
+            transcendentals=0),
+        interpret=interpret,
+        # the merged-view scratches push past the 16 MB default scoped-vmem
+        # budget at the 256-lane decoder stages; actual usage stays well
+        # under the v5e's physical VMEM
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)}),
+    )
+
+
+def prepare_merged(w: jax.Array, factors, in_groups=None, *,
+                   dtype=None) -> dict:
+    """Weight-side transform, to be run OUTSIDE device tile loops (like the
+    dense prepare): canonical (3,3,3,Cin,Cout) -> merged GEMM stack + masks,
+    lane-padded to 128 multiples."""
+    from multitalent_tpu.ops.packed_conv import pack_conv_weights
+    fy, fx = int(factors[0]), int(factors[1])
+    wp = pack_conv_weights(w, (fy, fx), in_groups)
+    wm = merged_weights_from_packed(wp, (fy, fx))
+    pc, pcout = wm.shape[-2], wm.shape[-1]
+    cp = -(-pc // 128) * 128
+    coutp = -(-pcout // 128) * 128
+    wm = jnp.pad(wm, ((0, 0), (0, 0), (0, cp - pc), (0, coutp - pcout)))
+    if dtype is not None:
+        wm = wm.astype(dtype)
+    my, px = phase_masks((fy, fx), w.shape[3], in_groups)
+    my = np.pad(my, (0, cp - pc))
+    px = np.pad(px, (0, cp - pc))
+    # [8, cp] f32: sublane-tiled so the kernel's row read is layout-native
+    return {"wm": wm, "my": np.broadcast_to(my, (8, cp)).copy(),
+            "mx": np.broadcast_to(px, (8, cp)).copy(),
+            "scheme": "22" if (fy, fx) == (2, 2) else "12",
+            "pcout": pcout}
+
+
+def pallas_packed_conv3d_merged(x_packed: jax.Array, prepared: dict, *,
+                                interpret: bool = False) -> jax.Array:
+    """Run the merged-tap conv from prepare_merged arrays. Raises ValueError
+    on unsupported shapes (callers fall back to the dense path)."""
+    from multitalent_tpu.ops.pallas_conv import _pick_blocks
+    n, z, y, xdim, pc = x_packed.shape
+    if not interpret and jax.default_backend() != "tpu":
+        raise ValueError("pallas merged conv requires a TPU backend")
+    blocks = _pick_blocks(z, y, xdim)
+    if blocks is None:
+        raise ValueError("unsupported shape")
+    bz, by, bx = blocks
+    cp = -(-pc // 128) * 128
+    pcout = prepared["pcout"]
+    coutp = -(-pcout // 128) * 128
+    wm = prepared["wm"]
+    if wm.shape[-2] != cp or wm.shape[-1] != coutp:
+        raise ValueError("prepared weights do not match input lanes")
+    xpad = jnp.pad(x_packed, ((0, 0), (1, 1), (1, 1), (8, 8), (0, cp - pc)))
+    call = _build(n, z, y, xdim, cp, coutp, str(x_packed.dtype), bz, by, bx,
+                  prepared["scheme"], interpret)
+    out = call(xpad, wm.astype(x_packed.dtype),
+               jnp.asarray(prepared["my"]), jnp.asarray(prepared["mx"]))
+    return out[..., :pcout] if coutp != pcout else out

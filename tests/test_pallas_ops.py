@@ -102,6 +102,29 @@ def test_pallas_conv3d_same_interpret_matches_lax():
         np.testing.assert_allclose(ref, got, atol=2e-4, rtol=1e-3)
 
 
+def test_merged_conv_interpret_matches_dense_packed():
+    """Merged-tap conv (ops/pallas_merged_conv.py): 12/18-GEMM schedule vs the
+    dense packed conv, interpret mode, both factor schemes + decoder-style
+    in_groups lane layouts."""
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.packed_conv import packed_conv3d
+    from multitalent_tpu.ops.pallas_merged_conv import (
+        pallas_packed_conv3d_merged, prepare_merged)
+    rngl = np.random.RandomState(7)
+    for factors, cin, cout, in_groups in [
+            ((2, 2), 30, 30, None), ((1, 2), 60, 60, None),
+            ((2, 2), 30, 30, (20, 10)), ((1, 2), 60, 60, (40, 20))]:
+        p = factors[0] * factors[1]
+        x = jnp.asarray(rngl.randn(1, 8, 16, 16, p * cin).astype(np.float32))
+        w = jnp.asarray(
+            rngl.randn(3, 3, 3, cin, cout).astype(np.float32) * 0.1)
+        ref = packed_conv3d(x, w, factors=factors, in_groups=in_groups)
+        prep = prepare_merged(w, factors, in_groups)
+        got = pallas_packed_conv3d_merged(x, prep, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_conv3d_same_fast_grads_use_xla_backward():
     """custom_vjp wrapper: grads equal the plain lax.conv grads (CPU falls back
     to the XLA forward too, so this checks the vjp plumbing end to end)."""
