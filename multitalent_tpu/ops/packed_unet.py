@@ -127,6 +127,21 @@ def stage_factors(model: GenericUNet, patch_size: Sequence[int],
     return out
 
 
+def _block2(pair, p, prepared, *, negative_slope, dtype, factors):
+    """ConvNormAct block over an unconcatenated (up, skip) pair via the
+    two-input merged-tap kernel (prepare_merged2 output)."""
+    from multitalent_tpu.ops.pallas_merged_conv import (
+        pallas_packed_conv3d_merged2)
+    a, b_in = pair
+    out = pallas_packed_conv3d_merged2(a.astype(dtype), b_in.astype(dtype),
+                                       prepared)
+    out = out + jnp.tile(p["conv"]["bias"].astype(dtype),
+                         pc.nphases(factors))
+    return pc.packed_instance_norm(out, p["norm"]["scale"],
+                                   p["norm"]["bias"], factors=factors,
+                                   negative_slope=negative_slope)
+
+
 def packable_stages(model: GenericUNet, patch_size: Sequence[int],
                     pack_max_channels: int = 128) -> int:
     """Number of leading resolution stages that run packed (0 = fully unpacked)."""
@@ -173,6 +188,25 @@ def _flip_conv_kernels(params, axes, cast_to=None):
     # the asymmetric flipped-world pads. Materializing the flipped kernels
     # (a few MB, once per combo per program) sidesteps the miscompile.
     return jax.lax.optimization_barrier(flipped)
+
+
+def _merged2_qualifies(factors, groups, x_shape) -> bool:
+    """Gate for the two-input merged decoder conv: same adjudication as the
+    single-input merged kernel ((2,2), each half one K tile, block grid
+    fits, TPU backend, MTTPU_PALLAS_MERGED not disabled)."""
+    import jax as _jax
+    from multitalent_tpu.ops import pallas_merged_conv as pmc
+    from multitalent_tpu.ops.pallas_conv import _pick_blocks
+    if (groups is None or len(groups) != 2
+            or tuple(factors) != (2, 2)
+            or not pmc.merged_conv_enabled()
+            or _jax.default_backend() != "tpu"):
+        return False
+    p = int(factors[0]) * int(factors[1])
+    if p * int(groups[0]) > 128 or p * int(groups[1]) > 128:
+        return False
+    return _pick_blocks(int(x_shape[1]), int(x_shape[2]),
+                        int(x_shape[3])) is not None
 
 
 def prepare_packed_unet_weights(model: GenericUNet, params, x_shape, *,
@@ -246,6 +280,16 @@ def prepare_packed_unet_weights(model: GenericUNet, params, x_shape, *,
         for i in range(model.conv_per_stage):
             w = params[f"dec{u}"][f"block{i}"]["conv"]["kernel"]
             if cur != UNPACKED:
+                if i == 0 and sparse and _merged2_qualifies(
+                        cur, groups, conv_xshape(w.shape[3])):
+                    # two-input merged-tap conv on the (up, skip) pair: the
+                    # forward skips the concat entirely (see decoder loop)
+                    from multitalent_tpu.ops import pallas_merged_conv as pmc
+                    prep[f"dec{u}.block{i}"] = {
+                        "kind": "merged2",
+                        "prep": pmc.prepare_merged2(w.astype(dtype), cur,
+                                                    groups)}
+                    continue
                 prep[f"dec{u}.block{i}"] = pc.prepare_packed_conv3d(
                     w.astype(dtype), conv_xshape(w.shape[3]), factors=cur,
                     in_groups=groups if i == 0 else None, sparse=sparse)
@@ -384,7 +428,17 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
             # b2 flagship forward on v5e, xprof)
             ph = pc.nphases(target)
             groups = (x.shape[-1] // ph, skip.shape[-1] // ph)
-            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            p0 = prep.get(f"dec{u}.block0") if prep else None
+            if p0 is not None and p0.get("kind") == "merged2":
+                # two-input merged-tap conv consumes the (up, skip) pair
+                # directly — the concat tensor is never materialized
+                x = _block2((x, skip), params[f"dec{u}"]["block0"],
+                            p0["prep"], negative_slope=slope, dtype=dtype,
+                            factors=cur)
+                start = 1
+            else:
+                x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+                start = 0
         else:
             assert cur == UNPACKED
             x = lax.conv_transpose(
@@ -393,7 +447,8 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             groups = None
-        for i in range(model.conv_per_stage):
+            start = 0
+        for i in range(start, model.conv_per_stage):
             x = _block(x, params[f"dec{u}"][f"block{i}"], negative_slope=slope,
                        dtype=dtype, factors=cur,
                        in_groups=groups if (i == 0 and cur != UNPACKED)

@@ -243,6 +243,188 @@ def _build(n, z, y, x, c, cout, dtype_name, bz, by, bx, scheme,
     )
 
 
+def _merged2_kernel(a_ref, b_ref, w_ref, mya_ref, mxa_ref, myb_ref, mxb_ref,
+                    out_ref, ablk, bblk, sems_a, sems_b, *, bz, by, bx,
+                    ca, cb, cout, zb, yb, xb):
+    """Two-input merged-tap conv for the decoder's concat conv: runs the
+    (2,2) merged schedule on BOTH inputs (up-path + skip) accumulating into
+    one output — 24 GEMMs replacing the 27 double-width GEMMs of the dense
+    grouped conv, and the [P*(c_up+c_skip)]-lane concat tensor is never
+    materialized. w_ref stacks the two halves' merged weights as
+    [2, 3, 4, 128, 128] (half, z-tap, group)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    g = (i * yb + j) * xb + k
+    n_steps = pl.num_programs(0) * yb * xb
+    slot = jax.lax.rem(g, 2)
+
+    def start_fetch(step, slot):
+        kk = jax.lax.rem(step, xb)
+        jj = jax.lax.rem(step // xb, yb)
+        ii = step // (xb * yb)
+        for src, dst, sem in ((a_ref, ablk, sems_a), (b_ref, bblk, sems_b)):
+            pltpu.make_async_copy(
+                src.at[ii // zb, pl.ds(jax.lax.rem(ii, zb) * bz, bz + 2),
+                       pl.ds(jj * by, by + 2), pl.ds(kk * bx, bx + 16), :],
+                dst.at[slot], sem.at[slot]).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_fetch(0, 0)
+
+    @pl.when(g + 1 < n_steps)
+    def _():
+        start_fetch(g + 1, 1 - slot)
+
+    for src, dst, sem in ((a_ref, ablk, sems_a), (b_ref, bblk, sems_b)):
+        pltpu.make_async_copy(src.at[0, pl.ds(0, bz + 2), pl.ds(0, by + 2),
+                                     pl.ds(0, bx + 16), :],
+                              dst.at[slot], sem.at[slot]).wait()
+
+    M = bz * by * bx
+
+    def body(acc, *scr):
+        acc[:] = jnp.zeros_like(acc)
+        for h, (blk, c, my_r, mx_r) in enumerate(
+                ((ablk, ca, mya_ref, mxa_ref), (bblk, cb, myb_ref, mxb_ref))):
+            xy, xx, xc = scr[3 * h:3 * h + 3]
+            my = (my_r[0, :] > 0.5).reshape(1, 1, 1, c)
+            mx = (mx_r[0, :] > 0.5).reshape(1, 1, 1, c)
+            xv = blk[slot]
+            xy[:] = jnp.where(my, xv[:, 0:by, 8:8 + bx, :],
+                              xv[:, 2:by + 2, 8:8 + bx, :])
+            xx[:] = jnp.where(mx, xv[:, 1:1 + by, 7:7 + bx, :],
+                              xv[:, 1:1 + by, 9:9 + bx, :])
+            xc[:] = jnp.where(
+                my,
+                jnp.where(mx, xv[:, 0:by, 7:7 + bx, :],
+                          xv[:, 0:by, 9:9 + bx, :]),
+                jnp.where(mx, xv[:, 2:by + 2, 7:7 + bx, :],
+                          xv[:, 2:by + 2, 9:9 + bx, :]))
+            for dz in range(3):
+                acc[:] += jnp.dot(
+                    xv[dz:dz + bz, 1:1 + by, 8:8 + bx, :].reshape(M, c),
+                    w_ref[h, dz, 0], preferred_element_type=jnp.float32)
+                for gi, buf in ((1, xy), (2, xx), (3, xc)):
+                    acc[:] += jnp.dot(buf[dz:dz + bz].reshape(M, c),
+                                      w_ref[h, dz, gi],
+                                      preferred_element_type=jnp.float32)
+        out_ref[0] = acc[:].reshape(bz, by, bx, cout).astype(out_ref.dtype)
+
+    pl.run_scoped(
+        body, pltpu.VMEM((M, cout), jnp.float32),
+        *([pltpu.VMEM((bz + 2, by, bx, ca), ablk.dtype)] * 3),
+        *([pltpu.VMEM((bz + 2, by, bx, cb), bblk.dtype)] * 3))
+
+
+@lru_cache(maxsize=32)
+def _build2(n, z, y, x, ca, cb, cout, dtype_name, bz, by, bx,
+            interpret=False):
+    dtype = jnp.dtype(dtype_name)
+    zb = z // bz
+    yb = y // by
+    xb = x // bx
+    grid = (n * zb, yb, xb)
+    kernel = partial(_merged2_kernel, bz=bz, by=by, bx=bx, ca=ca, cb=cb,
+                     cout=cout, zb=zb, yb=yb, xb=xb)
+    flops = 2 * 12 * (ca + cb) * cout * n * z * y * x
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # [2,3,4,128,128] weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # masks a
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # masks b
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bz, by, bx, cout),
+            lambda i, j, k, zb=zb: (i // zb, i % zb, j, k, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, z, y, x, cout), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bz + 2, by + 2, bx + 16, ca), dtype),
+            pltpu.VMEM((2, bz + 2, by + 2, bx + 16, cb), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(n * (z + 2) * (y + 2) * (x + 16) * (ca + cb) * 2
+                            + n * z * y * x * cout * 2),
+            transcendentals=0),
+        interpret=interpret,
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)}),
+    )
+
+
+def prepare_merged2(w: jax.Array, factors, groups, *, dtype=None) -> dict:
+    """Two-input variant for the decoder concat conv: canonical
+    (3,3,3,g0+g1,Cout) weights split by input group, each half getting its
+    own merged GEMM stack + masks. Only (2,2) with both halves within one
+    K tile qualifies (where the single-input kernel wins)."""
+    fy, fx = int(factors[0]), int(factors[1])
+    if (fy, fx) != (2, 2):
+        raise ValueError("merged2 requires (2,2) packing")
+    g0, g1 = int(groups[0]), int(groups[1])
+    p = fy * fx
+    if p * g0 > 128 or p * g1 > 128:
+        raise ValueError("merged2 halves must fit one K tile")
+    halves = []
+    for lo, hi in ((0, g0), (g0, g0 + g1)):
+        half = prepare_merged(w[:, :, :, lo:hi, :], (fy, fx), None,
+                              dtype=dtype)
+        halves.append(half)
+    wa, wb = halves[0]["wm"], halves[1]["wm"]
+    if wa.shape != wb.shape:
+        # pad the narrower half's K dim so both stack into one weight tensor
+        cp = max(wa.shape[-2], wb.shape[-2])
+        wa = jnp.pad(wa, ((0, 0), (0, 0), (0, cp - wa.shape[-2]), (0, 0)))
+        wb = jnp.pad(wb, ((0, 0), (0, 0), (0, cp - wb.shape[-2]), (0, 0)))
+    return {"wm": jnp.stack([wa, wb]),
+            "my_a": halves[0]["my"], "mx_a": halves[0]["mx"],
+            "my_b": halves[1]["my"], "mx_b": halves[1]["mx"],
+            "pcout": halves[0]["pcout"], "groups": (g0, g1)}
+
+
+def pallas_packed_conv3d_merged2(a: jax.Array, b: jax.Array, prepared: dict,
+                                 *, interpret: bool = False) -> jax.Array:
+    """Run the decoder concat conv from prepare_merged2 arrays on the
+    UNCONCATENATED (up, skip) pair. Raises ValueError on unsupported
+    shapes."""
+    from multitalent_tpu.ops.pallas_conv import _pick_blocks
+    n, z, y, xdim, pca = a.shape
+    pcb = b.shape[-1]
+    if b.shape[:4] != a.shape[:4]:
+        raise ValueError("input halves disagree on shape")
+    if not interpret and jax.default_backend() != "tpu":
+        raise ValueError("pallas merged conv requires a TPU backend")
+    blocks = _pick_blocks(z, y, xdim)
+    if blocks is None:
+        raise ValueError("unsupported shape")
+    bz, by, bx = blocks
+    cp = prepared["wm"].shape[-2]
+    pcout = prepared["pcout"]
+    coutp = prepared["wm"].shape[-1]
+    if pca > cp or pcb > cp:
+        raise ValueError("prepared weights do not match input lanes")
+    pad = ((0, 0), (1, 1), (1, 1), (8, 8))
+    apad = jnp.pad(a, pad + ((0, cp - pca),))
+    bpad = jnp.pad(b.astype(a.dtype), pad + ((0, cp - pcb),))
+    call = _build2(n, z, y, xdim, cp, cp, coutp, str(a.dtype), bz, by, bx,
+                   interpret)
+    out = call(apad, bpad, prepared["wm"].astype(a.dtype),
+               jnp.asarray(prepared["my_a"]), jnp.asarray(prepared["mx_a"]),
+               jnp.asarray(prepared["my_b"]), jnp.asarray(prepared["mx_b"]))
+    return out[..., :pcout] if coutp != pcout else out
+
+
 def prepare_merged(w: jax.Array, factors, in_groups=None, *,
                    dtype=None) -> dict:
     """Weight-side transform, to be run OUTSIDE device tile loops (like the

@@ -12,6 +12,49 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _probe_merged2(dev, iters, rng):
+    """dec0 concat conv as the two-input merged kernel vs dense grouped
+    (which also pays the concat the two-input kernel skips)."""
+    import jax
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.packed_conv import pack_conv_weights
+    from multitalent_tpu.ops.pallas_conv import conv3d_same_fast
+    from multitalent_tpu.ops.pallas_merged_conv import (
+        pallas_packed_conv3d_merged2, prepare_merged2)
+
+    dims = (96, 96, 96)
+    a = jax.device_put(jnp.asarray(
+        rng.randn(1, *dims, 120).astype(np.float32)).astype(jnp.bfloat16),
+        dev)
+    b = jax.device_put(jnp.asarray(
+        rng.randn(1, *dims, 120).astype(np.float32)).astype(jnp.bfloat16),
+        dev)
+    w = jnp.asarray(rng.randn(3, 3, 3, 60, 30).astype(np.float32) * .1)
+    wp = pack_conv_weights(w, (2, 2), (30, 30)).astype(jnp.bfloat16)
+    dense = jax.jit(lambda u, s, wp=wp: conv3d_same_fast(
+        jnp.concatenate([u, s], axis=-1), wp))
+    prep = prepare_merged2(w, (2, 2), (30, 30), dtype=jnp.bfloat16)
+    merged = jax.jit(lambda u, s, p=prep:
+                     pallas_packed_conv3d_merged2(u, s, p))
+
+    ref = np.asarray(dense(a, b), np.float32)
+    got = np.asarray(merged(a, b), np.float32)
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    print(f"m2 dec0 pair: parity rel={rel:.3e}", flush=True)
+    out = {}
+    for label, fn in (("dense+concat", dense), ("merged2", merged)):
+        o = fn(a, b)
+        float(jnp.asarray(o).ravel()[0])
+        t0 = time.time()
+        for _ in range(iters):
+            o = fn(a, b)
+        float(jnp.asarray(o).ravel()[0])
+        out[label] = (time.time() - t0) / iters * 1e3
+    print(f"m2 dec0 pair: dense+concat {out['dense+concat']:.2f} ms  "
+          f"merged2 {out['merged2']:.2f} ms  speedup "
+          f"{out['dense+concat']/out['merged2']:.2f}x", flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -23,9 +66,13 @@ def main():
         prepare_merged, pallas_packed_conv3d_merged)
 
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    only = sys.argv[2] if len(sys.argv) > 2 else ""
     dev = jax.devices()[0]
     print(f"# device={dev}", flush=True)
     rng = np.random.RandomState(0)
+
+    if not only or "m2" in only:
+        _probe_merged2(dev, iters, rng)
 
     # flagship shapes: stage0 conv (2,2), dec0 concat conv (2,2) grouped,
     # stage1 conv (1,2)
@@ -35,6 +82,8 @@ def main():
         ("s1 (1,2) 60->60", (1, 2), 60, 60, None, (48, 96, 48)),
     ]
     for name, factors, cin, cout, in_groups, dims in cases:
+        if only and only not in name:
+            continue
         p = factors[0] * factors[1]
         x = jax.device_put(jnp.asarray(
             rng.randn(1, *dims, p * cin).astype(np.float32)).astype(

@@ -125,6 +125,28 @@ def test_merged_conv_interpret_matches_dense_packed():
                                    atol=2e-4, rtol=1e-3)
 
 
+def test_merged2_conv_interpret_matches_grouped_dense():
+    """Two-input merged-tap conv (decoder concat conv without the concat) vs
+    the dense grouped packed conv, interpret mode, equal and unequal group
+    widths."""
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.packed_conv import packed_conv3d
+    from multitalent_tpu.ops.pallas_merged_conv import (
+        pallas_packed_conv3d_merged2, prepare_merged2)
+    rngl = np.random.RandomState(8)
+    for g0, g1, cout in [(30, 30, 30), (20, 10, 16)]:
+        a = jnp.asarray(rngl.randn(1, 8, 16, 16, 4 * g0).astype(np.float32))
+        b = jnp.asarray(rngl.randn(1, 8, 16, 16, 4 * g1).astype(np.float32))
+        w = jnp.asarray(
+            rngl.randn(3, 3, 3, g0 + g1, cout).astype(np.float32) * 0.1)
+        ref = packed_conv3d(jnp.concatenate([a, b], axis=-1), w,
+                            factors=(2, 2), in_groups=(g0, g1))
+        prep = prepare_merged2(w, (2, 2), (g0, g1))
+        got = pallas_packed_conv3d_merged2(a, b, prep, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_conv3d_same_fast_grads_use_xla_backward():
     """custom_vjp wrapper: grads equal the plain lax.conv grads (CPU falls back
     to the XLA forward too, so this checks the vjp plumbing end to end)."""
