@@ -216,8 +216,7 @@ def _measure(device, on_tpu: bool, volume_shape=None,
     # device and the masks cross the device->host link bit-packed (the
     # tunnelled link moves ~8 MB/s, so fetching fp16 probabilities would
     # measure the tunnel, not the machine).
-    from multitalent_tpu.ops.sliding_window import (fetch_packed_rle,
-                                                    unpack_class_bits)
+    from multitalent_tpu.ops.sliding_window import unpack_class_bits
     out = predictor.predict_regions_packed(params, vol)
     assert out.shape == (47, *volume_shape)
 
@@ -228,7 +227,12 @@ def _measure(device, on_tpu: bool, volume_shape=None,
     # dispatched after the next volume would queue behind it). The headline is
     # the MEDIAN repeat (steady-state behavior); per_repeat_s and best_s are
     # reported alongside because the tunnelled relay's latency fluctuates
-    # with its compile-queue state.
+    # with its compile-queue state. Transport is class-major bit-plane RLE
+    # (finalize_bits; MTTPU_SW_BITS=0 falls back to the uint32 word path).
+    from multitalent_tpu.ops.sliding_window import (bits_fetch_begin,
+                                                    bits_fetch_finish)
+    import os as _os
+    use_bits = _os.environ.get("MTTPU_SW_BITS", "1") != "0"
     from multitalent_tpu.ops.sliding_window import (rle_fetch_begin,
                                                     rle_fetch_finish)
     # Repeat protocol (round-4 hardening): the tunnelled relay's bandwidth
@@ -247,22 +251,30 @@ def _measure(device, on_tpu: bool, volume_shape=None,
     # device is busy instead of serializing in front of the next dispatch
     # (predict_cases pipelines identically)
     next_put = predictor.begin_put(vol)
+
+    def fetch_begin(dev_result):
+        return (bits_fetch_begin(dev_result) if use_bits
+                else rle_fetch_begin(dev_result))
+
+    def fetch_finish(token, slicer):
+        if use_bits:
+            return bits_fetch_finish(token)[(slice(None),) + tuple(slicer)]
+        pk = rle_fetch_finish(token)[tuple(slicer) + (slice(None),)]
+        return unpack_class_bits(pk, 47)
+
     for rep in range(n_repeats + 1):
         t0 = time.time()
-        token = rle_fetch_begin(pending[0]) if pending is not None else None
-        packed_dev, slicer = predictor.predict_to_device(params,
-                                                         preput=next_put,
-                                                         pack_threshold=0.5)
+        token = fetch_begin(pending[0]) if pending is not None else None
+        packed_dev, slicer = predictor.predict_to_device(
+            params, preput=next_put, pack_threshold=0.5, pack_bits=use_bits)
         next_put = predictor.begin_put(vol)
         if pending is not None:
-            pk = rle_fetch_finish(token)[tuple(pending[1]) + (slice(None),)]
-            unpack_class_bits(pk, 47)
+            fetch_finish(token, pending[1])
         pending = (packed_dev, slicer)
         jax.block_until_ready(packed_dev)
         if rep > 0:  # repeat 0 is the untimed warm-up
             per_repeat.append(time.time() - t0)
-    pk = fetch_packed_rle(pending[0])[tuple(pending[1]) + (slice(None),)]
-    unpack_class_bits(pk, 47)
+    fetch_finish(fetch_begin(pending[0]), pending[1])
     elapsed = float(np.median(per_repeat))
 
     # Steady-state chip figure (what scripts/sw_arms.py measures): the volume
@@ -272,11 +284,13 @@ def _measure(device, on_tpu: bool, volume_shape=None,
     steady = []
     if on_tpu:
         token = predictor.begin_put(vol)
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             out, _ = predictor.predict_to_device(params, preput=token,
-                                                 pack_threshold=0.5)
+                                                 pack_threshold=0.5,
+                                                 pack_bits=use_bits)
             jax.block_until_ready(out)
+            np.asarray(out[0, 0, 0, 0])  # real sync (see round-4 notes)
             steady.append(time.time() - t0)
 
     srt = sorted(per_repeat)
@@ -466,6 +480,10 @@ def report(res: dict) -> None:
                 alt["volumes_per_min"]
                 / _baseline_volumes_per_min(alt["volume_shape"], patch), 3),
             "per_repeat_s": [round(t, 2) for t in alt["per_repeat_s"]],
+            "trimmed_mean_s": (round(alt["trimmed_mean_s"], 2)
+                               if alt.get("trimmed_mean_s") else None),
+            "best_s": round(alt["best_s"], 2) if alt.get("best_s") else None,
+            "steady_state_s": alt.get("steady_state_s"),
         }
     print(json.dumps(out), flush=True)
 
@@ -542,7 +560,7 @@ def main() -> None:
             try:
                 res["alt"] = ex.submit(
                     _measure, device, True, (192, 256, 256),
-                    3).result(timeout=extras_budget)
+                    5).result(timeout=extras_budget)
             except Exception as e:
                 print(f"# alt-shape inference measurement failed/stalled "
                       f"({type(e).__name__})", flush=True)

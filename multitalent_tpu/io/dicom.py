@@ -198,13 +198,18 @@ def read_dicom_series(series_dir: str | Path):
                          f"{np.diff(zproj).max():.4f}); resample externally")
     dr, dc = d0["PixelSpacing"]  # (between rows = y, between cols = x)
 
-    slope = float((d0.get("RescaleSlope") or [1.0])[0])
-    inter = float((d0.get("RescaleIntercept") or [0.0])[0])
+    # DICOM allows per-slice RescaleSlope/Intercept; apply each slice's own
+    # values (a uniform series — the common CT case — takes the vectorized
+    # broadcast below either way)
+    slopes = np.asarray([float((s[0].get("RescaleSlope") or [1.0])[0])
+                         for s in slices], np.float32)
+    inters = np.asarray([float((s[0].get("RescaleIntercept") or [0.0])[0])
+                         for s in slices], np.float32)
     vol = np.stack([s[1] for s in slices]).astype(np.float32)
-    if slope != 1.0:
-        vol *= slope
-    if inter != 0.0:
-        vol += inter
+    if np.any(slopes != 1.0):
+        vol *= slopes[:, None, None]
+    if np.any(inters != 0.0):
+        vol += inters[:, None, None]
     if float(vol.min()) >= np.iinfo(np.int16).min and \
             float(vol.max()) <= np.iinfo(np.int16).max and \
             np.all(vol == np.rint(vol)):
@@ -226,14 +231,32 @@ def dicom_series_to_nifti(series_dir: str | Path, out_path: str | Path) -> None:
     write_nifti(out_path, vol, geom)
 
 
+def _looks_like_dicom(path: Path) -> bool:
+    """Same filename predicate read_dicom_series uses (.dcm/.ima), plus a
+    DICM-preamble sniff for extensionless files — discovery and reading must
+    agree or IMA/extensionless series trees become invisible."""
+    suffix = path.suffix.lower()
+    if suffix in (".dcm", ".ima"):
+        return True
+    if suffix or not path.is_file():
+        return False
+    try:
+        with open(path, "rb") as f:
+            f.seek(128)
+            return f.read(4) == b"DICM"
+    except OSError:
+        return False
+
+
 def find_dicom_series_dirs(root: str | Path) -> list[Path]:
     """Leaf directories under a TCIA manifest tree that contain DICOM files
     (the reference walks exactly two levels below each case,
     Task062_NIHPancreas.py:45-53; this accepts any depth)."""
     out = []
     for dirpath, dirnames, filenames in os.walk(root):
-        if any(f.lower().endswith(".dcm") for f in filenames):
-            out.append(Path(dirpath))
+        d = Path(dirpath)
+        if any(_looks_like_dicom(d / f) for f in filenames):
+            out.append(d)
     return sorted(out)
 
 

@@ -64,6 +64,11 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32),
             ctypes.c_int64]
+    if hasattr(lib, "rle_expand_bits"):
+        lib.rle_expand_bits.restype = None
+        lib.rle_expand_bits.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint8, ctypes.POINTER(ctypes.c_uint8)]
     _LIB = lib
     return _LIB
 
@@ -126,6 +131,25 @@ def rle_expand_u32(starts: np.ndarray, vals: np.ndarray, n: int,
         ctypes.c_int64(starts.shape[0]), ctypes.c_int64(n),
         out_strided.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.c_int64(stride_bytes // 4))
+    return True
+
+
+def rle_expand_bits(starts: np.ndarray, n: int, first: int,
+                    out_u8: np.ndarray) -> bool:
+    """Expand an alternating binary RLE (start indices only, run r carrying
+    value first^(r&1)) into the contiguous uint8 array out_u8[:n]. Returns
+    False when the native library is unavailable (callers fall back to
+    numpy)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rle_expand_bits"):
+        return False
+    starts = np.ascontiguousarray(starts, np.int32)
+    assert out_u8.dtype == np.uint8 and out_u8.flags.c_contiguous
+    lib.rle_expand_bits(
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(starts.shape[0]), ctypes.c_int64(n),
+        ctypes.c_uint8(1 if first else 0),
+        out_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return True
 
 

@@ -178,4 +178,22 @@ void rle_expand_u32(const int32_t* starts, const uint32_t* vals,
   }
 }
 
+// Expand an alternating binary run-length encoding (start indices only; run
+// r carries value first^(r&1)) into a contiguous uint8 0/1 array of length n.
+// memset-per-run: binary masks are long-run dominated, so this writes at
+// memory bandwidth where a np.repeat of per-run values pays a fresh
+// first-touch-faulted intermediate.
+void rle_expand_bits(const int32_t* starts, int64_t n_runs, int64_t n,
+                     uint8_t first, uint8_t* out) {
+  uint8_t v = first ? 1 : 0;
+  for (int64_t r = 0; r < n_runs; ++r) {
+    int64_t lo = starts[r];
+    int64_t hi = r + 1 < n_runs ? starts[r + 1] : n;
+    if (lo >= n) break;
+    if (hi > n) hi = n;
+    memset(out + lo, v, static_cast<size_t>(hi - lo));
+    v ^= 1u;
+  }
+}
+
 }  // extern "C"

@@ -157,31 +157,27 @@ def prepare_packed_conv3d(w: jax.Array, x_shape, *, factors=(F, F),
             and tuple(factors) in ((2, 2), (1, 2))):
         # merged-tap kernel: 12 GEMMs instead of 27, zero lane movement
         # (per-lane selects of shifted halo views) — the winning rework of
-        # the lane-gather sparse kernel below. Adjudicated on v5e
+        # the lane-gather sparse kernel (evicted measured loser,
+        # scripts/pallas_sparse_conv_arm.py). Adjudicated on v5e
         # (scripts/merged_conv_probe.py, queue-timed): WINS only for (2,2)
         # single-K-tile convs (stage-0-class, 120->128 lanes: 5.78 -> 3.58
         # ms, 1.61x); the 256-lane grouped decoder conv LOSES 0.49x (select
         # passes scale with lanes) and (1,2) loses 0.83x (smaller GEMM
         # saving than its select overhead) — both stay on the dense kernel.
         from multitalent_tpu.ops import pallas_merged_conv as pmc
+        # tiny-cin floor (same MTTPU_PALLAS_MIN_CIN crossover as the dense
+        # tap kernel): below it the merged route would pad K 4->128 and
+        # bypass the measured im2col tiny-cin formulation (stage-0 block0,
+        # P*Cin = 4)
         if (pmc.merged_conv_enabled() and jax.default_backend() == "tpu"
-                and tuple(factors) == (2, 2) and pcin <= 128):
+                and tuple(factors) == (2, 2)
+                and int(os.environ.get("MTTPU_PALLAS_MIN_CIN", "32"))
+                <= pcin <= 128):
             from multitalent_tpu.ops.pallas_conv import _pick_blocks
             if _pick_blocks(int(x_shape[1]), int(x_shape[2]),
                             int(x_shape[3])) is not None:
                 return {"kind": "merged",
                         "prep": pmc.prepare_merged(w, tuple(factors),
-                                                   in_groups)}
-        from multitalent_tpu.ops import pallas_sparse_conv as psc
-        if psc.sparse_conv_enabled():
-            blocks = psc._pick_blocks(int(x_shape[1]), int(x_shape[2]),
-                                      int(x_shape[3]))
-            if blocks is not None and jax.default_backend() == "tpu":
-                p = nphases(factors)
-                cpp = psc._cpp(w.shape[3])
-                return {"kind": "sparse", "factors": tuple(factors),
-                        "in_groups": in_groups, "cin": w.shape[3],
-                        "wts": psc._sparse_weights(w, tuple(factors), cpp,
                                                    in_groups)}
     wp = pack_conv_weights(w, factors, in_groups)
     kyp, kxp = wp.shape[1], wp.shape[2]
@@ -207,15 +203,6 @@ def apply_packed_conv3d(x_packed: jax.Array, prepared: dict) -> jax.Array:
         from multitalent_tpu.ops.pallas_merged_conv import (
             pallas_packed_conv3d_merged)
         return pallas_packed_conv3d_merged(x_packed, prepared["prep"])
-    if kind == "sparse":
-        from multitalent_tpu.ops import pallas_sparse_conv as psc
-        try:
-            return psc.pallas_packed_conv3d_sparse(
-                x_packed, None, factors=prepared["factors"],
-                in_groups=prepared["in_groups"], cin=prepared["cin"],
-                prepared_weights=prepared["wts"])
-        except ValueError:
-            raise AssertionError("prepare/apply shape mismatch")
     if kind == "pallas":
         from multitalent_tpu.ops.pallas_conv import conv3d_same_fast
         return conv3d_same_fast(x_packed, prepared["wp"])
@@ -247,16 +234,19 @@ def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
     (ops/pallas_conv.py: 118.7 vs 82.7 TFLOP/s on v5e at C=120); backward
     stays on XLA's conv via custom_vjp.
 
-    sparse=True (inference-only, no grad support): route through the merged
-    block-sparse tap kernel (ops/pallas_sparse_conv.py) — 12 GEMMs instead of
-    27 for (2,2) packing, 18 for (1,2) — when enabled and the shape fits."""
+    sparse=True (inference-only, no grad support): route through the
+    merged-tap kernel (ops/pallas_merged_conv.py) — 12 GEMMs instead of 27
+    for (2,2) packing, zero lane movement — when enabled and the shape
+    fits."""
     import os
     kz = w.shape[0]
     if (sparse and kz == 3 and w.shape[1:3] == (3, 3) and precision is None
             and tuple(factors) in ((2, 2), (1, 2))):
         from multitalent_tpu.ops import pallas_merged_conv as pmc
         if (pmc.merged_conv_enabled() and jax.default_backend() == "tpu"
-                and tuple(factors) == (2, 2) and x_packed.shape[-1] <= 128):
+                and tuple(factors) == (2, 2)
+                and int(os.environ.get("MTTPU_PALLAS_MIN_CIN", "32"))
+                <= x_packed.shape[-1] <= 128):
             # weight transform rebuilt inline — callers inside tile loops
             # must use the prepare/apply pair instead (gating mirrors
             # prepare_packed_conv3d: (2,2) single-K-tile convs only)
@@ -266,14 +256,6 @@ def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
                                                  in_groups))
             except ValueError:
                 pass  # unsupported shape: fall through
-        from multitalent_tpu.ops.pallas_sparse_conv import (
-            pallas_packed_conv3d_sparse, sparse_conv_enabled)
-        if sparse_conv_enabled():
-            try:
-                return pallas_packed_conv3d_sparse(
-                    x_packed, w, factors=tuple(factors), in_groups=in_groups)
-            except ValueError:
-                pass  # unsupported shape: fall through to the dense path
     wp = pack_conv_weights(w, factors, in_groups)
     kyp, kxp = wp.shape[1], wp.shape[2]
     # Tiny input channel counts (stage-0 block0: P*C_in = 4) waste the

@@ -433,6 +433,18 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
                        dtype=jnp.uint32)
 
     @jax.jit
+    def finalize_bits(acc, cnt, threshold):
+        """Threshold the blended probabilities and emit CLASS-MAJOR uint8
+        masks (K, Z, Y, X). Feeds the bit-plane RLE fetch (bits_fetch_begin):
+        one class's mask is spatially coherent where the 32-class uint32
+        words of finalize_packed transition whenever ANY class flips, and
+        alternating binary runs need no values on the link — about half the
+        bytes per run, and the host-side unpack_class_bits pass folds into
+        the run expansion itself."""
+        probs = _blend(acc, cnt)
+        return jnp.moveaxis(probs > threshold, -1, 0).astype(jnp.uint8)
+
+    @jax.jit
     def finalize(acc, cnt):
         # guard only voxels never touched by any tile (cannot occur for a valid
         # step grid); tiny gaussian-tail weights must divide exactly (parity with
@@ -466,16 +478,24 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         return sp + (nph * num_classes,), sp + (nph,)
 
     def run(params, padded_volume, coords_host: np.ndarray, devices=None,
-            pack_threshold=None):
+            pack_threshold=None, pack_bits=False):
         if devices is not None and len(devices) > 1:
             return _run_sharded(params, padded_volume, coords_host, devices,
-                                pack_threshold)
+                                pack_threshold, pack_bits)
         acc_shape, cnt_shape = _acc_shapes(padded_volume)
         acc = jnp.zeros(acc_shape, acc_dtype)
         cnt = jnp.zeros(cnt_shape, acc_dtype)
         if os.environ.get("MTTPU_SW_DEVICE_LOOP", "1") != "0":
             n = coords_host.shape[0]
-            n_padded = -(-n // 8) * 8
+            # pad the tile list only to a multiple of the tile batch: phantom
+            # zero-weight tiles still run the full forward, and for one padded
+            # volume shape the tile count is fixed anyway (tile_coords is a
+            # function of the padded shape), so wider buckets buy no compile
+            # reuse. The previous multiple-of-8 pad cost 4 phantom tiles (33%)
+            # on a 12-tile (192,256,256) volume — the whole alt-shape compute
+            # gap of round 4 (396 vs 302 ms/tile, scripts/alt_probe.py).
+            tbp = max(1, int(tta_chunk)) if flip_in_weights else 1
+            n_padded = -(-n // tbp) * tbp
             coords_pad = np.concatenate(
                 [coords_host, np.repeat(coords_host[-1:], n_padded - n, 0)])
             weights_pad = np.zeros(n_padded, np.float32)
@@ -501,11 +521,13 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             for cg, wg in _tile_groups(coords_host):
                 acc, cnt = step(acc, cnt, params, padded_volume, cg, wg)
         if pack_threshold is not None:
+            if pack_bits:
+                return finalize_bits(acc, cnt, np.float32(pack_threshold))
             return finalize_packed(acc, cnt, np.float32(pack_threshold))
         return finalize(acc, cnt)
 
     def _run_sharded(params, padded_volume, coords_host, devices,
-                     pack_threshold=None):
+                     pack_threshold=None, pack_bits=False):
         """Multi-chip tile sharding: tile groups round-robin over devices, each
         device keeps its own volume copy + accumulators (every step is
         independent), the partial accumulators sum on device 0 at the end.
@@ -530,8 +552,9 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
             acc = acc + jax.device_put(accs[d], devices[0]).astype(jnp.float32)
             cnt = cnt + jax.device_put(cnts[d], devices[0]).astype(jnp.float32)
         if pack_threshold is not None:
-            return finalize_packed(acc.astype(acc_dtype), cnt.astype(acc_dtype),
-                                   np.float32(pack_threshold))
+            fin = finalize_bits if pack_bits else finalize_packed
+            return fin(acc.astype(acc_dtype), cnt.astype(acc_dtype),
+                       np.float32(pack_threshold))
         return finalize(acc.astype(acc_dtype), cnt.astype(acc_dtype))
 
     return run
@@ -604,7 +627,10 @@ class SlidingWindowPredictor:
         vol_vox = float(np.prod(padded_shape))
         patch_vox = float(np.prod(self.patch_size))
         fixed = vol_vox * (self.num_classes * 2 + 2 + self.in_channels * 2)
+        # clamp to a power of two (1/2/4/8): run_loop reshapes the 8-padded
+        # coords buffer into (-1, tb, 3), so tb must divide 8
         tb = max(1, min(int(os.environ.get("MTTPU_SW_TILE_BATCH", "4")), 8))
+        tb = 1 << (tb.bit_length() - 1)
         while tb > 1:
             # ~700 B/voxel of live activations measured on v5e: tb=4 at the
             # (256,320,320)x47 bench volume RESOURCE_EXHAUSTs a 16 GB chip
@@ -680,7 +706,8 @@ class SlidingWindowPredictor:
         return vol_dev, coords, slicer
 
     def predict_to_device(self, params, volume_czyx: np.ndarray = None,
-                          pack_threshold=None, preput=None):
+                          pack_threshold=None, preput=None,
+                          pack_bits=False):
         """Run the tiled prediction, returning (device fp16 probs ZYXK, slicer)
         WITHOUT the device->host transfer — callers can overlap the fetch of one
         volume with the compute of the next (predict_cases does).
@@ -730,7 +757,8 @@ class SlidingWindowPredictor:
                 flip_in_weights=flipw)
             try:
                 probs = runner(params, vol_dev, coords, devices=self.devices,
-                               pack_threshold=pack_threshold)
+                               pack_threshold=pack_threshold,
+                               pack_bits=pack_bits)
                 # persist: don't re-attempt the OOM size
                 if flipw:
                     self._flipw_tile_batch = chunk
@@ -752,7 +780,15 @@ class SlidingWindowPredictor:
     def predict_regions_packed(self, params, volume_czyx: np.ndarray,
                                threshold: float = 0.5) -> np.ndarray:
         """Thresholded class masks (K, Z, Y, X) bool via the bit-packed
-        device->host path (threshold applied on device)."""
+        device->host path (threshold applied on device). Default transport is
+        class-major bit-plane RLE (about half the bytes per run of the uint32
+        word path, and the host unpack folds into the run expansion);
+        MTTPU_SW_BITS=0 falls back to the word path."""
+        if os.environ.get("MTTPU_SW_BITS", "1") != "0":
+            bits_dev, slicer = self.predict_to_device(
+                params, volume_czyx, pack_threshold=threshold, pack_bits=True)
+            masks = bits_fetch_finish(bits_fetch_begin(bits_dev))
+            return masks[(slice(None),) + tuple(slicer)]
         packed_dev, slicer = self.predict_to_device(params, volume_czyx,
                                                     pack_threshold=threshold)
         packed = fetch_packed_rle(packed_dev)[tuple(slicer) + (slice(None),)]
@@ -847,6 +883,82 @@ def fetch_packed_rle(packed_dev) -> np.ndarray:
     dense size (e.g. uncorrelated noise). The run count crossing the link
     first also serves as the completion sync for the device pipeline."""
     return rle_fetch_finish(rle_fetch_begin(packed_dev))
+
+
+@jax.jit
+def _rle_count_first(flat):
+    """(number of runs, first value) of a 1-D array, fetched in one transfer
+    (this read is also the natural completion sync for the device pipeline)."""
+    cnt = 1 + jnp.sum(flat[1:] != flat[:-1], dtype=jnp.int32)
+    return jnp.stack([cnt, flat[0].astype(jnp.int32)])
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _rle_encode_starts(flat, cap: int):
+    """Run starts only (int32, padded with n): binary planes alternate
+    values, so the values never need to cross the link."""
+    n = flat.shape[0]
+    bound = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             flat[1:] != flat[:-1]])
+    return jnp.nonzero(bound, size=cap, fill_value=n)[0].astype(jnp.int32)
+
+
+@jax.jit
+def _pack_words_from_bits(bits_kzyx):
+    """(K, Z, Y, X) uint8 -> (Z, Y, X, ceil(K/32)) uint32 words (the
+    finalize_packed layout), for the dense-word fallback when the bit-plane
+    run list approaches dense size."""
+    k = bits_kzyx.shape[0]
+    nwords = (k + 31) // 32
+    b = jnp.moveaxis(bits_kzyx, 0, -1)
+    pad = nwords * 32 - k
+    if pad:
+        b = jnp.pad(b, [(0, 0)] * 3 + [(0, pad)])
+    b = b.reshape(*b.shape[:-1], nwords, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(b.astype(jnp.uint32) * weights, axis=-1, dtype=jnp.uint32)
+
+
+def bits_fetch_begin(bits_dev):
+    """Dispatch the bit-plane RLE encode for a finalize_bits result
+    ((K, Z, Y, X) uint8) and return a token for bits_fetch_finish.
+
+    Class-major binary runs beat the uint32 word planes of rle_fetch_begin
+    two ways: one class's mask is spatially coherent where a 32-class word
+    transitions whenever ANY class flips, and alternating binary runs need
+    only their start indices on the link (4 B/run vs 8). Reading the run
+    count here synchronizes on bits_dev — pipelined callers enqueue this
+    while the device is idle, then dispatch the next volume's compute."""
+    shape = tuple(bits_dev.shape)
+    k = shape[0]
+    nvox = int(np.prod(shape[1:]))
+    flat = jnp.ravel(bits_dev)
+    cf = np.asarray(_rle_count_first(flat))
+    cnt, first = int(cf[0]), int(cf[1])
+    bucket = next((b for b in _RLE_BUCKETS if b >= cnt), None)
+    nwords = (k + 31) // 32
+    if bucket is None or bucket * 4 >= nvox * nwords * 4:
+        # incoherent masks: the word path (whose per-plane dense fallback
+        # bounds the worst case) is the cheaper transport
+        return ("words", k, rle_fetch_begin(_pack_words_from_bits(bits_dev)))
+    return ("bits", shape, cnt, first, _rle_encode_starts(flat, bucket))
+
+
+def bits_fetch_finish(token) -> np.ndarray:
+    """Transfer + expand a bits_fetch_begin token into (K, Z, Y, X) bool."""
+    from multitalent_tpu.utils.alloc import fast_empty
+    if token[0] == "words":
+        _, k, wtoken = token
+        return unpack_class_bits(rle_fetch_finish(wtoken), k)
+    _, shape, cnt, first, starts_dev = token
+    n = int(np.prod(shape))
+    starts = np.asarray(starts_dev)[:cnt]
+    out = fast_empty((n,), np.uint8)
+    if not native.rle_expand_bits(starts, n, first, out):
+        lengths = np.diff(np.append(starts, n))
+        vals = np.where(np.arange(cnt) % 2 == 0, first, 1 - first)
+        out[:] = np.repeat(vals.astype(np.uint8), lengths)
+    return out.view(np.bool_).reshape(shape)
 
 
 def unpack_class_bits(packed_zyxw: np.ndarray, num_classes: int) -> np.ndarray:

@@ -161,9 +161,15 @@ def _ensure_pancreas_niftis(images_dir: str) -> str:
                          "series found")
     out_dir = os.path.join(os.path.dirname(os.path.abspath(images_dir)),
                            "nifti_converted")
-    existing = _subfiles(out_dir, join=False, suffix=".nii.gz") \
-        if os.path.isdir(out_dir) else []
-    if not existing:
+    existing = set(_subfiles(out_dir, join=False, suffix=".nii.gz")
+                   if os.path.isdir(out_dir) else [])
+    # reuse only a COMPLETE prior conversion: a run that crashed mid-way
+    # leaves a partial set which must not be silently treated as done
+    # (every case would then be missing from the task)
+    expected = {case.name + ".nii.gz"
+                for case in sorted(os.scandir(images_dir), key=lambda e: e.name)
+                if case.is_dir() and find_dicom_series_dirs(case.path)}
+    if not expected <= existing:
         convert_tcia_dicom_tree(images_dir, out_dir)
     return out_dir
 

@@ -1,5 +1,14 @@
 """Block-sparse tap-GEMM conv for space-to-depth packed stages.
 
+MEASURED-LOSER A/B ARM (evicted from the package, round 5): on v5e the
+in-kernel lane gathers lower as full-block relayout copies and the kernel
+loses to the dense 27-tap kernel (22.3 vs 12.7 ms on the stage-0-class conv;
+documentation/performance_notes.md "block-sparse tap kernel"). Its winning
+rework — merge only taps with disjoint lanes so ZERO lanes move — lives in
+ops/pallas_merged_conv.py and is the production path. Kept here as a
+standalone harness (run this file directly for the interpret-mode parity
+check) for future re-adjudication on other TPU generations.
+
 The dense packed conv (ops/packed_conv.py) trades FLOPs for MXU shape: packing
 (fy, fx) phases into lanes multiplies the 3x3x3 conv's FLOPs by P = fy*fx
 because the packed weight is block-sparse — each packed tap's [P*C, P*C]
@@ -370,3 +379,43 @@ def pallas_packed_conv3d_sparse(x_packed, w, *, factors, in_groups=None,
     call = _build_sparse(n, z, yp, xp, kin, cout_p, ng, str(x_packed.dtype),
                          bz, by, bx, (fy, fx), cpp, interpret)
     return call(xpad, wts)
+
+
+def _parity_check():
+    """Interpret-mode parity vs the plain conv in packed space (the test this
+    arm carried in tests/test_pallas_ops.py before its eviction)."""
+    from multitalent_tpu.ops.packed_conv import space_to_depth_yx
+
+    for factors, c, groups in (((2, 2), 30, None), ((1, 2), 60, None),
+                               ((2, 2), 32, (20, 12))):
+        rng = np.random.default_rng(3)
+        cout = 24
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, c, cout)),
+                        jnp.float32) * 0.1
+        pad = tuple((1, 1) for _ in range(3))
+        if groups is None:
+            x = jnp.asarray(rng.standard_normal((2, 8, 16, 16, c)), jnp.float32)
+            xg = space_to_depth_yx(x, factors)
+        else:
+            xs = [jnp.asarray(rng.standard_normal((2, 8, 16, 16, g)),
+                              jnp.float32) for g in groups]
+            x = jnp.concatenate(xs, -1)
+            xg = jnp.concatenate([space_to_depth_yx(v, factors) for v in xs],
+                                 -1)
+        ref = lax.conv_general_dilated(
+            x, w, (1, 1, 1), pad,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        ref_p = space_to_depth_yx(ref, factors)
+        out = pallas_packed_conv3d_sparse(xg, w, factors=factors,
+                                          in_groups=groups, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_p),
+                                   atol=1e-4)
+        print(f"parity ok factors={factors} c={c} groups={groups}")
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    _parity_check()

@@ -416,34 +416,3 @@ def test_pallas_wgrad_interpret_matches_vjp():
         np.testing.assert_allclose(dw_ref, dw, atol=2e-4, rtol=1e-3)
 
 
-@pytest.mark.slow  # opt-in kernel (loses on v5e pending the gather rework)
-@pytest.mark.parametrize("factors,c,groups", [((2, 2), 30, None),
-                                              ((1, 2), 60, None),
-                                              ((2, 2), 32, (20, 12))])
-def test_pallas_sparse_packed_conv_interpret_matches_lax(factors, c, groups):
-    """Merged block-sparse tap schedule == the plain conv in packed space,
-    including the decoder's plain-concat (in_groups) input layout."""
-    from jax import lax
-
-    from multitalent_tpu.ops.packed_conv import space_to_depth_yx
-    from multitalent_tpu.ops.pallas_sparse_conv import (
-        pallas_packed_conv3d_sparse)
-
-    rng = np.random.default_rng(3)
-    cout = 24
-    w = jnp.asarray(rng.standard_normal((3, 3, 3, c, cout)), jnp.float32) * 0.1
-    pad = tuple(((3 - 1) // 2, (3 - 1) // 2) for _ in range(3))
-    if groups is None:
-        x = jnp.asarray(rng.standard_normal((2, 8, 16, 16, c)), jnp.float32)
-        xg = space_to_depth_yx(x, factors)
-    else:
-        xs = [jnp.asarray(rng.standard_normal((2, 8, 16, 16, g)), jnp.float32)
-              for g in groups]
-        x = jnp.concatenate(xs, -1)
-        xg = jnp.concatenate([space_to_depth_yx(v, factors) for v in xs], -1)
-    ref = lax.conv_general_dilated(
-        x, w, (1, 1, 1), pad, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-    ref_p = space_to_depth_yx(ref, factors)
-    out = pallas_packed_conv3d_sparse(xg, w, factors=factors,
-                                      in_groups=groups, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_p), atol=1e-4)

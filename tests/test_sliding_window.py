@@ -235,6 +235,94 @@ def test_bitpacked_region_fetch_matches_probs_path():
     np.testing.assert_array_equal(masks, probs > 0.5)
 
 
+def test_bits_fetch_matches_word_path():
+    """The class-major bit-plane RLE transport (default) and the uint32 word
+    transport (MTTPU_SW_BITS=0) must produce identical masks."""
+    import os
+
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
+
+    K = 47  # two words, K%32 != 0
+    rngl = np.random.RandomState(5)
+    wk = jnp.asarray(rngl.randn(1, K).astype(np.float32))
+
+    def apply_fn(params, batch):
+        return jnp.einsum("bzyxc,ck->bzyxk", batch, params)
+
+    pred = SlidingWindowPredictor(apply_fn, (6, 6, 6), in_channels=1,
+                                  num_classes=K, nonlin="sigmoid",
+                                  tta_chunk=2)
+    vol = rngl.randn(1, 8, 9, 10).astype(np.float32)
+    bits = pred.predict_regions_packed(wk, vol)
+    os.environ["MTTPU_SW_BITS"] = "0"
+    try:
+        words = pred.predict_regions_packed(wk, vol)
+    finally:
+        os.environ.pop("MTTPU_SW_BITS", None)
+    assert bits.shape == words.shape == (K, 8, 9, 10)
+    np.testing.assert_array_equal(bits, words)
+
+
+def test_bits_fetch_roundtrip_coherent_and_noise():
+    """bits_fetch_begin/finish must reproduce the dense mask array exactly on
+    coherent masks (RLE path) and fall back to the word transport on
+    uncorrelated noise without changing the result."""
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.sliding_window import (bits_fetch_begin,
+                                                    bits_fetch_finish)
+
+    rng = np.random.RandomState(9)
+    # big enough that the dense size clears the smallest RLE bucket (16K)
+    blocks = rng.rand(5, 4, 4, 3) > 0.5
+    coherent = np.kron(blocks, np.ones((1, 4, 8, 16))).astype(np.uint8)
+    noise = (rng.rand(5, 16, 32, 48) > 0.5).astype(np.uint8)
+    for arr, expect_kind in ((coherent, "bits"), (noise, "words")):
+        token = bits_fetch_begin(jnp.asarray(arr))
+        assert token[0] == expect_kind
+        got = bits_fetch_finish(token)
+        assert got.dtype == bool
+        np.testing.assert_array_equal(got, arr.astype(bool))
+
+
+def test_flipw_tail_padding_and_tile_batch_clamp(monkeypatch):
+    """A tile count that is not a multiple of the (clamped) tile batch must
+    pad with zero-weight phantom tiles and still match the activation-flip
+    path; MTTPU_SW_TILE_BATCH values that don't divide the group reshape
+    (e.g. 7) are clamped to a power of two."""
+    import jax
+    import jax.numpy as jnp
+    from multitalent_tpu.models.generic_unet import GenericUNet
+    from multitalent_tpu.ops.packed_unet import (
+        make_inference_apply_fn, make_packed_inference_apply_fn)
+    from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
+
+    monkeypatch.setenv("MTTPU_PACKED_CONV", "1")
+    model = GenericUNet(input_channels=1, base_num_features=8, num_classes=5,
+                        pool_op_kernel_sizes=((2, 2, 2),),
+                        conv_kernel_sizes=((3, 3, 3),) * 2,
+                        deep_supervision=False, dtype=jnp.float32)
+    patch = (8, 8, 8)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, *patch, 1)))["params"]
+    apply_fn = make_inference_apply_fn(model)
+    pfn, pfac = make_packed_inference_apply_fn(model, patch)
+    base = dict(patch_size=patch, in_channels=1, num_classes=5,
+                nonlin="sigmoid", step_size=0.5, do_mirroring=True,
+                mirror_axes=(0,), use_gaussian=True)
+    # (10, 14, 14) -> 2*3*3 = 18 tiles: not a multiple of tb=4 (tail group
+    # carries 2 phantom tiles)
+    vol = np.random.RandomState(11).randn(1, 10, 14, 14).astype(np.float32)
+    monkeypatch.setenv("MTTPU_SW_FLIPW", "0")
+    ref = SlidingWindowPredictor(apply_fn, packed_apply=(pfn, pfac),
+                                 **base)(params, vol)
+    monkeypatch.setenv("MTTPU_SW_FLIPW", "1")
+    monkeypatch.setenv("MTTPU_SW_TILE_BATCH", "7")  # clamps to 4
+    out = SlidingWindowPredictor(apply_fn, packed_apply=(pfn, pfac),
+                                 **base)(params, vol)
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
 def test_unpack_class_bits_wide():
     """47-channel packing spans two uint32 words."""
     from multitalent_tpu.ops.sliding_window import unpack_class_bits
