@@ -63,8 +63,14 @@ def segmentation_from_probs(probs_kzyx: np.ndarray, region_class_order=None) -> 
 def uncrop_segmentation(seg_zyx: np.ndarray, properties: dict) -> np.ndarray:
     """Place the cropped-space segmentation back into the pre-cropping volume
     (segmentation_export.py:131-141)."""
+    # the reference keys the pre-crop shape as original_size_of_raw_data
+    # (cropping.py:66) — properties pickles from reference-preprocessed data
+    # carry only that name, so it must be read first or uncropping is
+    # silently skipped (caught by the 47-region export A/B test)
     bbox = properties.get("crop_bbox")
-    shape_before = properties.get("shape_before_cropping")
+    shape_before = properties.get("original_size_of_raw_data")
+    if shape_before is None:
+        shape_before = properties.get("shape_before_cropping")
     if bbox is None or shape_before is None:
         return seg_zyx
     out = np.zeros(tuple(int(s) for s in shape_before), dtype=np.float32)

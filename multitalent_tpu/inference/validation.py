@@ -141,8 +141,10 @@ def run_multitalent_validation(trainer, do_mirroring: bool = True,
             save_segmentation_nifti_from_softmax, merged_probs, merged_fname,
             dict(properties), 1, tuple(class_order)))
 
-        # each valid region individually as a binary mask
-        for r in valid_regions:
+        # each region channel individually as a binary mask — ALL 47 regions
+        # per case, not only the dataset's valid ones (the reference exports
+        # the full region set, MultiTalent_Trainer_DDP.validate:264-275)
+        for r in REGIONS:
             rdir = maybe_mkdir(os.path.join(individual_folder, r))
             futures.append(pool.submit(
                 save_segmentation_nifti_from_softmax,

@@ -328,3 +328,128 @@ def test_multitalent_compute_loss_parity_vs_reference(batch_dice):
     np.testing.assert_allclose(float(ce), float(ref_ce), rtol=1e-5)
     np.testing.assert_allclose(float(dc), float(ref_dc), rtol=1e-5)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
+
+def test_multitalent_47region_export_fanout_parity_vs_reference(tmp_path):
+    """One-shot end-to-end A/B of the MultiTalent inference export semantics:
+    our engine's sigmoid probabilities are fanned out by OUR production
+    validate (inference/validation.run_multitalent_validation: 47 individual
+    binary region niftis + per-dataset merged labelmap) and by the ACTUAL
+    reference code (segmentation_export.save_segmentation_nifti_from_softmax
+    driven exactly as MultiTalent_Trainer_DDP.validate:264-295 /
+    predict_MultiTalent.py:252-263 drive it, with the reference's own region
+    tables), and every exported voxel must agree."""
+    import pickle
+    from copy import deepcopy
+
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
+    from multitalent_tpu.tasks.multitalent import (REGION_OUTPUT_IDX, REGIONS,
+                                                   REGIONS_CLASS_ORDER,
+                                                   TASK_IDS, VALID_REGIONS)
+    from multitalent_tpu.io.nifti import read_nifti
+
+    _enable_reference_imports()
+    from nnunet.inference.segmentation_export import (
+        save_segmentation_nifti_from_softmax as ref_save)
+    tables = _extract_assigns(TASK100, [
+        "MultiTalent_regions", "MultiTalent_region_output_idx_mapping",
+        "MultiTalent_valid_regions", "MultiTalent_regions_class_order"])
+    # the merged labelmap's class order table must itself match the reference
+    assert dict(REGIONS_CLASS_ORDER) == tables["MultiTalent_regions_class_order"]
+
+    # --- engine probabilities: tiny 47-channel sigmoid net through the tiled
+    # engine (exact mode -> fp32, both fan-outs threshold identical arrays)
+    rngl = np.random.RandomState(21)
+    wk = jnp.asarray(rngl.randn(1, 47).astype(np.float32) * 2)
+
+    def apply_fn(params, batch):
+        return jnp.einsum("bzyxc,ck->bzyxk", batch, params)
+
+    pred = SlidingWindowPredictor(apply_fn, (6, 6, 6), in_channels=1,
+                                  num_classes=47, nonlin="sigmoid",
+                                  tta_chunk=4, exact=True)
+    cases = {"003_0001": (10, 12, 14), "006_0003": (9, 11, 10)}
+    probs_by_case = {
+        k: np.asarray(pred(wk, rngl.randn(1, *shp).astype(np.float32)))
+        for k, shp in cases.items()}
+
+    def make_properties(shp):
+        return {
+            "size_after_cropping": list(shp),
+            "original_size_of_raw_data": [s + 3 for s in shp],
+            "crop_bbox": [[1, None], [2, None], [0, None]],
+            "original_spacing": [2.0, 1.0, 1.0],
+            "spacing_after_resampling": [2.0, 1.0, 1.0],
+            "itk_spacing": (1.0, 1.0, 2.0),
+            "itk_origin": (-3.5, 1.0, 7.0),
+            "itk_direction": (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+        }
+
+    # --- our side: the production validate driven through a minimal trainer
+    ours_dir = tmp_path / "ours"
+    prep_dir = tmp_path / "prep"
+    prep_dir.mkdir()
+    dataset_val = {}
+    for k, shp in cases.items():
+        np.savez(prep_dir / f"{k}.npz",
+                 data=np.zeros((2, *shp), np.float32))
+        with open(prep_dir / f"{k}.pkl", "wb") as f:
+            pickle.dump(make_properties(shp), f)
+        dataset_val[k] = {"data_file": str(prep_dir / f"{k}.npz"),
+                          "properties_file": str(prep_dir / f"{k}.pkl")}
+
+    class FakeTrainer:
+        was_initialized = True
+        output_folder = str(ours_dir)
+        dataset_directory = str(tmp_path / "nodata")
+
+        def __init__(self):
+            self.dataset_val = dataset_val
+
+        def predict_preprocessed_data_return_seg_and_softmax(
+                self, data, **kw):
+            shp = data.shape[1:]
+            k = next(c for c, s in cases.items() if tuple(s) == tuple(shp))
+            return None, probs_by_case[k]
+
+    from multitalent_tpu.inference.validation import run_multitalent_validation
+    run_multitalent_validation(FakeTrainer(), validation_folder_name="val")
+
+    # --- reference side: the DDP-validate fan-out, verbatim semantics
+    ref_dir = tmp_path / "ref"
+    ref_ind = ref_dir / "individual"
+    ref_ind.mkdir(parents=True)
+    mt_regions = tables["MultiTalent_regions"]
+    mt_idx = tables["MultiTalent_region_output_idx_mapping"]
+    mt_valid = tables["MultiTalent_valid_regions"]
+    mt_order = tables["MultiTalent_regions_class_order"]
+    for k, shp in cases.items():
+        props = make_properties(shp)
+        softmax_pred = probs_by_case[k]
+        for l in mt_regions.keys():
+            ref_save(softmax_pred[mt_idx[l]][None],
+                     str(ref_ind / f"{k}__{l}.nii.gz"), deepcopy(props), 1,
+                     ((1,),), None, None, None, None, None, 0, verbose=False)
+        dataset_name = [i for i in mt_valid.keys()
+                        if i.startswith("Task%03.0d_" % int(k.split("_")[0]))]
+        assert len(dataset_name) == 1
+        dataset_name = dataset_name[0]
+        valid_regions = [mt_idx[i] for i in mt_valid[dataset_name]]
+        ref_save(softmax_pred[valid_regions], str(ref_dir / f"{k}.nii.gz"),
+                 deepcopy(props), 1, mt_order[dataset_name], None, None, None,
+                 None, None, 0, verbose=False)
+
+    # --- voxel-level agreement on every exported artifact
+    for k in cases:
+        ref_merged, ref_geom = read_nifti(ref_dir / f"{k}.nii.gz")
+        our_merged, our_geom = read_nifti(ours_dir / "val" / f"{k}.nii.gz")
+        np.testing.assert_array_equal(our_merged, ref_merged)
+        assert our_geom.spacing == ref_geom.spacing
+        assert our_geom.origin == ref_geom.origin
+        assert ref_merged.max() > 0  # non-degenerate: labels actually present
+        for r in REGIONS:
+            ref_m, _ = read_nifti(ref_ind / f"{k}__{r}.nii.gz")
+            our_m, _ = read_nifti(ours_dir / "val" / "individual" / r
+                                  / f"{k}.nii.gz")
+            np.testing.assert_array_equal(our_m, ref_m)
