@@ -167,6 +167,53 @@ def _force_plain_convs_off_tpu(on_tpu: bool) -> None:
         os.environ["MTTPU_PACKED_TRAIN"] = "0"
 
 
+def _calibrate_head_bias(model, params, apply_fn, patch, device,
+                         vol: np.ndarray):
+    """Make the random-init net's thresholded masks production-like.
+
+    Random head weights put every class's logit distribution straddling the
+    0.5 threshold (measured: median 54% foreground per class, 74M RLE runs
+    on the alt volume) — an adversarial mask-transport case no trained model
+    produces: real MultiTalent outputs are compact organ masks, ~0-3%
+    foreground per class (47 organs in one CT). The seg head is bias-free
+    (reference parity), so the shift rides a rank-1 head-kernel update along
+    the mean-feature direction: per class k, logits drop by mu_k + 3*sigma_k
+    (tile statistics), leaving sparse coherent blobs where the phantom's
+    organ structure pushes logits over threshold. Pure weight edit — every
+    conv/norm in the measured path is unchanged, so compute cost is
+    identical; only the transported artifact becomes representative."""
+    import jax
+    import jax.numpy as jnp
+    head = f"seg{model.num_pool - 1}"
+    w = np.asarray(params[head]["kernel"], np.float32)  # (1,1,1,F,K)
+    feat = w.shape[3]
+    tile = vol[:, :patch[0], :patch[1], :patch[2]]
+    tile_dev = jax.device_put(
+        np.moveaxis(tile, 0, -1)[None].astype(np.float32), device)
+
+    logits = np.asarray(jax.jit(apply_fn)(params, tile_dev), np.float32)
+    mu = logits.reshape(-1, logits.shape[-1]).mean(0)
+    sd = logits.reshape(-1, logits.shape[-1]).std(0)
+
+    # probe the pre-head features: identity head on the first F channels
+    probe = dict(params)
+    wid = np.zeros_like(w)
+    wid[0, 0, 0, :, :feat] = np.eye(feat, dtype=np.float32)[:, :w.shape[4]]
+    probe[head] = {"kernel": jnp.asarray(wid)}
+    f = np.asarray(jax.jit(apply_fn)(probe, tile_dev),
+                   np.float32).reshape(-1, w.shape[4])[:, :feat]
+    m = f.mean(0)
+    u = m / max(float(m @ m), 1e-6)  # u @ f ~= 1 per voxel
+
+    alpha = -(mu + 3.0 * sd)
+    w2 = w.copy()
+    w2[0, 0, 0] += u[:, None] * alpha[None, :]
+    out = dict(params)
+    out[head] = {"kernel": jnp.asarray(w2, np.asarray(
+        params[head]["kernel"]).dtype)}
+    return out
+
+
 def _measure(device, on_tpu: bool, volume_shape=None,
              n_repeats=None) -> dict:
     import jax
@@ -208,6 +255,7 @@ def _measure(device, on_tpu: bool, volume_shape=None,
         packed_apply=(pfn, pfac) if pfn is not None else None)
 
     vol = _phantom_volume(volume_shape)
+    params = _calibrate_head_bias(model, params, apply_fn, patch, device, vol)
 
     # warmup: compile + one full pass (incl. host fetch). The measured artifact
     # is predict_MultiTalent's: 47 thresholded binary region masks
@@ -305,7 +353,8 @@ def _measure(device, on_tpu: bool, volume_shape=None,
 
 
 TRAIN_CONFIGS = {
-    # name: (patch, pools, base, classes, a100_s_per_epoch, note)
+    # name: (patch, pools, base, classes, a100_s_per_epoch, note[, convs,
+    #        in_channels])
     # A100-40GB-PCIe rows from the reference's own benchmark table
     # (documentation/expected_epoch_times.md:68-81, pytorch 1.11 + cuDNN 8.3).
     "liver": ((128, 128, 128), ((2, 2, 2),) * 5, 32, 3, 41.49,
@@ -316,6 +365,18 @@ TRAIN_CONFIGS = {
     "heart": ((80, 192, 160),
               ((2, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2), (1, 2, 2)), 32, 2,
               46.52, "Task002_Heart 3d_fullres dummyLoad (80x192x160, bs2)"),
+    # Task005_Prostate 3d_fullres: patch 20x320x256, bs 2, 2 modalities
+    # (T2/ADC), anisotropic topology (two leading 1x3x3 stages; geometry
+    # reproduced by our own ExperimentPlanner3Dv21 from the MSD Prostate
+    # fingerprint). A100 'dummy' row: 41.78 (expected_epoch_times.md:80 —
+    # the dummy row matches this protocol; the non-dummy row is 42.95).
+    "prostate": ((20, 320, 256),
+                 ((1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2), (1, 2, 2),
+                  (1, 2, 2)), 32, 3, 41.78,
+                 "Task005_Prostate 3d_fullres dummyLoad (20x320x256, bs2, "
+                 "2ch)",
+                 ((1, 3, 3), (1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3),
+                  (3, 3, 3), (3, 3, 3)), 2),
 }
 
 
@@ -341,19 +402,23 @@ def _measure_train(device, on_tpu: bool, config: str = "liver") -> dict:
                                                       make_sgd_optimizer)
 
     _force_plain_convs_off_tpu(on_tpu)
-    cfg_patch, pools, base, n_classes, a100, note = TRAIN_CONFIGS[config]
+    cfg = TRAIN_CONFIGS[config]
+    cfg_patch, pools, base, n_classes, a100, note = cfg[:6]
+    convs = cfg[6] if len(cfg) > 6 else ((3, 3, 3),) * (len(pools) + 1)
+    in_ch = cfg[7] if len(cfg) > 7 else 1
     patch = cfg_patch if on_tpu else (32, 32, 32)
     if not on_tpu:
         pools = ((2, 2, 2),) * 5
+        convs = ((3, 3, 3),) * 6
     batch = 2
-    model = GenericUNet(input_channels=1, base_num_features=base,
+    model = GenericUNet(input_channels=in_ch, base_num_features=base,
                         num_classes=n_classes,
                         pool_op_kernel_sizes=pools,
-                        conv_kernel_sizes=((3, 3, 3),) * 6,
+                        conv_kernel_sizes=convs,
                         deep_supervision=True, dtype=jnp.bfloat16)
     ds_scales = ds_scales_from_pools(pools)
     augment = make_augment_fn(patch, ds_scales,
-                              dict(default_3D_augmentation_params), 1)
+                              dict(default_3D_augmentation_params), in_ch)
     weights = [float(w) for w in ds_loss_weights(len(pools), mask_lowest=True)]
     forward = make_train_forward_fn(model)
 
@@ -382,7 +447,8 @@ def _measure_train(device, on_tpu: bool, config: str = "liver") -> dict:
     step = jax.jit(train_step, donate_argnums=(0,))
     step_noda = jax.jit(train_core, donate_argnums=(0,))
     host = np.random.RandomState(0)
-    data = jax.device_put(host.randn(batch, 1, *patch).astype(np.float32), device)
+    data = jax.device_put(
+        host.randn(batch, in_ch, *patch).astype(np.float32), device)
     seg = jax.device_put(
         host.randint(0, n_classes, (batch, 1, *patch)).astype(np.float32),
         device)

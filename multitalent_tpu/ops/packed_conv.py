@@ -264,9 +264,23 @@ def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
     min_cin = int(os.environ.get("MTTPU_PALLAS_MIN_CIN", "32"))
     if (kz == 3 and (kyp, kxp) == (3, 3) and precision is None
             and x_packed.shape[-1] >= min_cin):
-        from multitalent_tpu.ops.pallas_conv import (conv3d_same_fast,
+        from multitalent_tpu.ops.pallas_conv import (_pick_blocks,
+                                                     conv3d_same_fast,
                                                      pallas_conv_enabled)
         if pallas_conv_enabled():
+            # training path for the same conv class the inference merged
+            # kernel won at ((2,2), single K tile): merged-tap forward via
+            # custom_vjp, dense backward (MTTPU_MERGED_TRAIN=0 disables)
+            from multitalent_tpu.ops import pallas_merged_conv as pmc
+            if (tuple(factors) == (2, 2) and x_packed.shape[-1] <= 128
+                    and jax.default_backend() == "tpu"
+                    and pmc.merged_train_enabled()
+                    and _pick_blocks(int(x_packed.shape[1]),
+                                     int(x_packed.shape[2]),
+                                     int(x_packed.shape[3])) is not None):
+                return pmc.conv3d_same_merged_train(
+                    x_packed, wp, tuple(factors), int(w.shape[3]),
+                    tuple(in_groups) if in_groups is not None else None)
             return conv3d_same_fast(x_packed, wp)
     # SAME in original space == explicit padding (kp//2, kp-1-kp//2) in packed
     # cells: the phase-tap table centers the packed kernel so that zero-padding

@@ -425,6 +425,27 @@ def pallas_packed_conv3d_merged2(a: jax.Array, b: jax.Array, prepared: dict,
     return out[..., :pcout] if coutp != pcout else out
 
 
+def _prep_from_packed(wp: jax.Array, factors, cin: int, in_groups=None) -> dict:
+    """Merged GEMM stack + masks from an ALREADY-PACKED weight
+    [3,3,3,P*Cin,P*Cout] (pack_conv_weights output), lane-padded to 128
+    multiples. Shared by prepare_merged and the training forward (where wp
+    is a traced value that differentiates through pack_conv_weights)."""
+    fy, fx = int(factors[0]), int(factors[1])
+    wm = merged_weights_from_packed(wp, (fy, fx))
+    pc, pcout = wm.shape[-2], wm.shape[-1]
+    cp = -(-pc // 128) * 128
+    coutp = -(-pcout // 128) * 128
+    wm = jnp.pad(wm, ((0, 0), (0, 0), (0, cp - pc), (0, coutp - pcout)))
+    my, px = phase_masks((fy, fx), cin, in_groups)
+    my = np.pad(my, (0, cp - pc))
+    px = np.pad(px, (0, cp - pc))
+    # [8, cp] f32: sublane-tiled so the kernel's row read is layout-native
+    return {"wm": wm, "my": np.broadcast_to(my, (8, cp)).copy(),
+            "mx": np.broadcast_to(px, (8, cp)).copy(),
+            "scheme": "22" if (fy, fx) == (2, 2) else "12",
+            "pcout": pcout}
+
+
 def prepare_merged(w: jax.Array, factors, in_groups=None, *,
                    dtype=None) -> dict:
     """Weight-side transform, to be run OUTSIDE device tile loops (like the
@@ -433,21 +454,62 @@ def prepare_merged(w: jax.Array, factors, in_groups=None, *,
     from multitalent_tpu.ops.packed_conv import pack_conv_weights
     fy, fx = int(factors[0]), int(factors[1])
     wp = pack_conv_weights(w, (fy, fx), in_groups)
-    wm = merged_weights_from_packed(wp, (fy, fx))
-    pc, pcout = wm.shape[-2], wm.shape[-1]
-    cp = -(-pc // 128) * 128
-    coutp = -(-pcout // 128) * 128
-    wm = jnp.pad(wm, ((0, 0), (0, 0), (0, cp - pc), (0, coutp - pcout)))
+    prep = _prep_from_packed(wp, (fy, fx), w.shape[3], in_groups)
     if dtype is not None:
-        wm = wm.astype(dtype)
-    my, px = phase_masks((fy, fx), w.shape[3], in_groups)
-    my = np.pad(my, (0, cp - pc))
-    px = np.pad(px, (0, cp - pc))
-    # [8, cp] f32: sublane-tiled so the kernel's row read is layout-native
-    return {"wm": wm, "my": np.broadcast_to(my, (8, cp)).copy(),
-            "mx": np.broadcast_to(px, (8, cp)).copy(),
-            "scheme": "22" if (fy, fx) == (2, 2) else "12",
-            "pcout": pcout}
+        prep["wm"] = prep["wm"].astype(dtype)
+    return prep
+
+
+def merged_train_enabled() -> bool:
+    """Merged-tap TRAINING forward (custom_vjp, dense backward).
+    MTTPU_MERGED_TRAIN forces on/off; defaults to the inference gate."""
+    import os
+    val = os.environ.get("MTTPU_MERGED_TRAIN")
+    if val is not None:
+        return val != "0"
+    return merged_conv_enabled()
+
+
+_TRAIN_INTERPRET = False  # test hook: interpret-mode primal on CPU
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv3d_same_merged_train(x, wp, factors, cin: int, in_groups):
+    """Training forward through the merged-tap kernel: computes the SAME
+    function as the dense packed conv (SAME conv of x with wp) with 12 GEMMs
+    instead of 27; the backward rides the dense formulation (Pallas dx/wgrad
+    kernels via the same vjp rules as conv3d_same_fast), so gradients are
+    exact w.r.t. the conv math. factors/cin/in_groups are hashable statics
+    (mask geometry)."""
+    return pallas_packed_conv3d_merged(
+        x, _prep_from_packed(wp, factors, cin, in_groups),
+        interpret=_TRAIN_INTERPRET)
+
+
+def _mt_fwd(x, wp, factors, cin, in_groups):
+    return conv3d_same_merged_train(x, wp, factors, cin, in_groups), (x, wp)
+
+
+def _mt_bwd(factors, cin, in_groups, res, g):
+    from multitalent_tpu.ops import pallas_conv as pcv
+    x, wp = res
+    g = g.astype(x.dtype)
+    try:
+        dx = pcv.conv3d_same_dx(g, wp)
+    except ValueError:
+        _, vjp_x = jax.vjp(lambda xv: pcv._ref_conv(xv, wp), x)
+        (dx,) = vjp_x(g)
+    if pcv._pallas_wgrad_enabled():
+        try:
+            return dx, pcv.pallas_conv3d_same_wgrad(x, g).astype(wp.dtype)
+        except ValueError:
+            pass
+    _, vjp_w = jax.vjp(lambda wv: pcv._ref_conv(x, wv), wp)
+    (dw,) = vjp_w(g)
+    return dx, dw
+
+
+conv3d_same_merged_train.defvjp(_mt_fwd, _mt_bwd)
 
 
 def pallas_packed_conv3d_merged(x_packed: jax.Array, prepared: dict, *,

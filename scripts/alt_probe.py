@@ -40,8 +40,8 @@ def main():
     enable_compilation_cache()
     from bench import _phantom_volume
     from scripts.sw_arms import build_predictor
-    from multitalent_tpu.ops.sliding_window import (
-        rle_fetch_begin, rle_fetch_finish, unpack_class_bits)
+    from multitalent_tpu.ops.sliding_window import (bits_fetch_begin,
+                                                    bits_fetch_finish)
 
     dev = jax.devices()[0]
     predictor, params = build_predictor(dev)
@@ -60,16 +60,15 @@ def main():
     rows = []
     for rep in range(reps + 1):
         t0 = time.time()
-        token = rle_fetch_begin(pending[0]) if pending is not None else None
+        token = bits_fetch_begin(pending[0]) if pending is not None else None
         t1 = time.time()
         packed_dev, slicer = predictor.predict_to_device(
-            params, preput=next_put, pack_threshold=0.5)
+            params, preput=next_put, pack_threshold=0.5, pack_bits=True)
         t2 = time.time()
         next_put = predictor.begin_put(vol)
         t3 = time.time()
         if pending is not None:
-            pk = rle_fetch_finish(token)[tuple(pending[1]) + (slice(None),)]
-            unpack_class_bits(pk, 47)
+            bits_fetch_finish(token)[(slice(None),) + tuple(pending[1])]
         t4 = time.time()
         pending = (packed_dev, slicer)
         jax.block_until_ready(packed_dev)
@@ -87,7 +86,8 @@ def main():
     for _ in range(3):
         t0 = time.time()
         out, _ = predictor.predict_to_device(params, preput=token,
-                                             pack_threshold=0.5)
+                                             pack_threshold=0.5,
+                                             pack_bits=True)
         jax.block_until_ready(out)
         # real sync: fetch one word (block_until_ready can return early on
         # the relay; a scalar fetch cannot)

@@ -23,12 +23,18 @@ def build_predictor(dev):
     from multitalent_tpu.ops.packed_unet import (
         make_inference_apply_fn, make_packed_inference_apply_fn)
     from __graft_entry__ import _flagship_model
+    from bench import _calibrate_head_bias, _phantom_volume
     model = _flagship_model()
     patch = (96, 192, 192)
     example = jax.device_put(jnp.zeros((1, *patch, 1)), dev)
     params = jax.jit(model.init)(
         jax.device_put(jax.random.PRNGKey(0), dev), example)["params"]
     apply_fn = make_inference_apply_fn(model)
+    # production-like sparse masks (see bench._calibrate_head_bias): probes
+    # must exercise the same transport the bench measures
+    params = _calibrate_head_bias(model, params, apply_fn, patch, dev,
+                                  _phantom_volume((patch[0], patch[1],
+                                                   patch[2])))
     pfn, pfac = make_packed_inference_apply_fn(model, patch)
     predictor = SlidingWindowPredictor(
         apply_fn, patch, in_channels=1, num_classes=47, nonlin="sigmoid",

@@ -125,6 +125,49 @@ def test_merged_conv_interpret_matches_dense_packed():
                                    atol=2e-4, rtol=1e-3)
 
 
+def test_merged_train_forward_and_grads_match_dense(monkeypatch):
+    """conv3d_same_merged_train (the training forward through the merged-tap
+    kernel): primal matches the dense packed conv in interpret mode, and its
+    custom-vjp grads (dense-formulation backward) match jax.grad of the
+    plain conv — values AND weight grads, including the decoder's
+    group-concat lane layout."""
+    import jax
+    import jax.numpy as jnp
+    from multitalent_tpu.ops import pallas_merged_conv as pmc
+    from multitalent_tpu.ops.packed_conv import pack_conv_weights
+    from jax import lax
+
+    monkeypatch.setattr(pmc, "_TRAIN_INTERPRET", True)
+    rngl = np.random.RandomState(17)
+    for cin, in_groups in [(30, None), (30, (20, 10))]:
+        x = jnp.asarray(rngl.randn(1, 8, 16, 16, 4 * cin).astype(np.float32))
+        w = jnp.asarray(
+            rngl.randn(3, 3, 3, cin, 24).astype(np.float32) * 0.1)
+        wp = pack_conv_weights(w, (2, 2), in_groups)
+
+        def dense(xv, wv):
+            pad = tuple((1, 1) for _ in range(3))
+            return lax.conv_general_dilated(
+                xv, wv, (1, 1, 1), pad,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        def merged(xv, wv):
+            return pmc.conv3d_same_merged_train(xv, wv, (2, 2), cin,
+                                                in_groups)
+
+        out = merged(x, wp)
+        ref = dense(x, wp)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-3)
+        g = jnp.asarray(rngl.randn(*ref.shape).astype(np.float32))
+        dx_r, dw_r = jax.vjp(dense, x, wp)[1](g)
+        dx_m, dw_m = jax.vjp(merged, x, wp)[1](g)
+        np.testing.assert_allclose(np.asarray(dx_m), np.asarray(dx_r),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(dw_m), np.asarray(dw_r),
+                                   atol=2e-3, rtol=1e-3)
+
+
 def test_merged2_conv_interpret_matches_grouped_dense():
     """Two-input merged-tap conv (decoder concat conv without the concat) vs
     the dense grouped packed conv, interpret mode, equal and unequal group

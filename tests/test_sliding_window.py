@@ -273,9 +273,10 @@ def test_bits_fetch_roundtrip_coherent_and_noise():
                                                     bits_fetch_finish)
 
     rng = np.random.RandomState(9)
-    # big enough that the dense size clears the smallest RLE bucket (16K)
-    blocks = rng.rand(5, 4, 4, 3) > 0.5
-    coherent = np.kron(blocks, np.ones((1, 4, 8, 16))).astype(np.uint8)
+    # coherent at production run lengths (runs of ~6k elements, long past the
+    # 256-element bitmap block scale); noise flips every few elements
+    blocks = rng.rand(5, 4, 1, 1) > 0.5
+    coherent = np.kron(blocks, np.ones((1, 4, 32, 48))).astype(np.uint8)
     noise = (rng.rand(5, 16, 32, 48) > 0.5).astype(np.uint8)
     for arr, expect_kind in ((coherent, "bits"), (noise, "words")):
         token = bits_fetch_begin(jnp.asarray(arr))
