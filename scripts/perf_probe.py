@@ -786,6 +786,103 @@ def summarize_xplane(path, iters=1, top=28):
 
 
 
+
+
+def probe_swfusions():
+    """Instance-level decomposition of the sliding-window volume's 'other
+    fusions' bucket: top fusion INSTANCES by device time (no .NNN stripping)
+    plus the optimized-HLO definition head of each, so the bucket's contents
+    get names (round-5 ask: the 4.44 s 'other fusions' bucket was never
+    itemized)."""
+    import collections
+    import glob
+    import re as _re
+    import shutil
+    import jax
+    import jax.numpy as jnp
+    from multitalent_tpu.ops.packed_unet import (make_inference_apply_fn,
+                                                 make_packed_inference_apply_fn)
+    from multitalent_tpu.ops.sliding_window import SlidingWindowPredictor
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _flagship_model
+    import bench as benchmod
+
+    model = _flagship_model()
+    patch = (96, 192, 192)
+    volume_shape = (256, 320, 320)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, *patch, 1)))["params"]
+    apply_fn = make_inference_apply_fn(model)
+    pfn, pfac = make_packed_inference_apply_fn(model, patch)
+    predictor = SlidingWindowPredictor(
+        apply_fn, patch, in_channels=1, num_classes=47, nonlin="sigmoid",
+        step_size=0.5, do_mirroring=True, mirror_axes=(0, 1, 2),
+        use_gaussian=True, device=jax.devices()[0],
+        packed_apply=(pfn, pfac) if pfn is not None else None)
+    vol = benchmod._phantom_volume(volume_shape)
+    hlo_path = "/tmp/sw_loop.hlo"
+    os.environ["MTTPU_SW_DUMP_HLO"] = hlo_path
+    t0 = time.time()
+    packed_dev, _ = predictor.predict_to_device(params, vol,
+                                                pack_threshold=0.5)
+    jax.block_until_ready(packed_dev)
+    os.environ.pop("MTTPU_SW_DUMP_HLO", None)
+    print(f"warmup volume: {time.time()-t0:.1f} s", flush=True)
+    tdir = "/tmp/xprof_swf"
+    shutil.rmtree(tdir, ignore_errors=True)
+    jax.profiler.start_trace(tdir)
+    t0 = time.time()
+    packed_dev, _ = predictor.predict_to_device(params, vol,
+                                                pack_threshold=0.5)
+    jax.block_until_ready(packed_dev)
+    wall = time.time() - t0
+    jax.profiler.stop_trace()
+    print(f"traced volume: {wall:.1f} s", flush=True)
+
+    # HLO fusion definitions by name
+    hlo_defs = {}
+    try:
+        cur = None
+        for ln in open(hlo_path):
+            m = _re.match(r"\s*%?(fused_computation[^ ]*|\S+fusion\S*)\s", ln)
+            if " = " in ln and "fusion(" in ln:
+                nm = ln.split(" = ")[0].strip().lstrip("%")
+                hlo_defs[nm] = ln.strip()[:220]
+    except OSError:
+        pass
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    for p in glob.glob(tdir + "/**/*.xplane.pb", recursive=True):
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(open(p, "rb").read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "Device" not in plane.name:
+                continue
+            ev_meta = plane.event_metadata
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                tot = collections.Counter()
+                cnt = collections.Counter()
+                for ev in line.events:
+                    md = ev_meta[ev.metadata_id]
+                    name = md.display_name or md.name
+                    tot[name] += ev.duration_ps
+                    cnt[name] += 1
+                fus = {k: v for k, v in tot.items()
+                       if k.startswith(("fusion", "loop_", "input_",
+                                        "output_", "wide."))}
+                T = sum(tot.values())
+                F = sum(fus.values())
+                print(f"== {plane.name}: total {T/1e12:.2f} s, "
+                      f"named-fusion {F/1e12:.2f} s ==", flush=True)
+                for k, v in sorted(fus.items(), key=lambda kv: -kv[1])[:25]:
+                    d = hlo_defs.get(k, "")
+                    print(f"  {v/1e12*1e3:9.1f} ms x{cnt[k]:5d}  {k}"
+                          f"\n      {d[:200]}", flush=True)
+
+
+
 if __name__ == "__main__":
     from multitalent_tpu.configuration import enable_compilation_cache
     enable_compilation_cache()
