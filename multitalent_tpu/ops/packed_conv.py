@@ -189,7 +189,8 @@ def prepare_packed_conv3d(w: jax.Array, x_shape, *, factors=(F, F),
     pad = ((kz // 2, kz - 1 - kz // 2),
            (kyp // 2, kyp - 1 - kyp // 2),
            (kxp // 2, kxp - 1 - kxp // 2))
-    if pcin * kz * kyp * kxp <= 64 and jax.default_backend() == "tpu":
+    im2col_max_k = int(os.environ.get("MTTPU_IM2COL_MAX_K", "64"))
+    if pcin * kz * kyp * kxp <= im2col_max_k and jax.default_backend() == "tpu":
         return {"kind": "im2col", "pad": pad, "kzyx": (kz, kyp, kxp),
                 "wcol": wp.reshape(-1, wp.shape[-1])}
     return {"kind": "conv", "pad": pad, "wp": wp}
@@ -289,7 +290,9 @@ def packed_conv3d(x_packed: jax.Array, w: jax.Array, *, factors=(F, F),
            (kyp // 2, kyp - 1 - kyp // 2),
            (kxp // 2, kxp - 1 - kxp // 2))
     pcin = x_packed.shape[-1]
-    if (precision is None and pcin * kz * kyp * kxp <= 64
+    if (precision is None
+            and pcin * kz * kyp * kxp
+            <= int(os.environ.get("MTTPU_IM2COL_MAX_K", "64"))
             and jax.default_backend() == "tpu"):
         # Tiny-cin taps (stage-0 block0: P*C_in = 4, K = 12*4 = 48): XLA's
         # conv lowering crawls at ~7 TFLOP/s here (the MXU K dim is 4/128
