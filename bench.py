@@ -177,9 +177,9 @@ def _calibrate_head_bias(model, params, apply_fn, patch, device,
     produces: real MultiTalent outputs are compact organ masks, ~0-3%
     foreground per class (47 organs in one CT). The seg head is bias-free
     (reference parity), so the shift rides a rank-1 head-kernel update along
-    the mean-feature direction: per class k, logits drop by mu_k + 3*sigma_k
-    (tile statistics), leaving sparse coherent blobs where the phantom's
-    organ structure pushes logits over threshold. Pure weight edit — every
+    the mean-feature direction: per class k, logits drop by their tile-level
+    99% quantile, leaving ~1% foreground of coherent blobs where the
+    phantom's organ structure pushes logits over threshold. Pure weight edit — every
     conv/norm in the measured path is unchanged, so compute cost is
     identical; only the transported artifact becomes representative."""
     import jax
@@ -187,13 +187,18 @@ def _calibrate_head_bias(model, params, apply_fn, patch, device,
     head = f"seg{model.num_pool - 1}"
     w = np.asarray(params[head]["kernel"], np.float32)  # (1,1,1,F,K)
     feat = w.shape[3]
-    tile = vol[:, :patch[0], :patch[1], :patch[2]]
+    # CENTER tile: corner tiles sit mostly outside the phantom's body
+    # cylinder, and stats taken there over-shift (round-5: a corner-tile
+    # -3sigma calibration left every flagship mask empty)
+    starts = [max(0, (s - p) // 2) for s, p in zip(vol.shape[1:], patch)]
+    tile = vol[:, starts[0]:starts[0] + patch[0],
+               starts[1]:starts[1] + patch[1],
+               starts[2]:starts[2] + patch[2]]
     tile_dev = jax.device_put(
         np.moveaxis(tile, 0, -1)[None].astype(np.float32), device)
 
     logits = np.asarray(jax.jit(apply_fn)(params, tile_dev), np.float32)
-    mu = logits.reshape(-1, logits.shape[-1]).mean(0)
-    sd = logits.reshape(-1, logits.shape[-1]).std(0)
+    lf = logits.reshape(-1, logits.shape[-1])
 
     # probe the pre-head features: identity head on the first F channels
     probe = dict(params)
@@ -205,7 +210,12 @@ def _calibrate_head_bias(model, params, apply_fn, patch, device,
     m = f.mean(0)
     u = m / max(float(m @ m), 1e-6)  # u @ f ~= 1 per voxel
 
-    alpha = -(mu + 3.0 * sd)
+    # exact per-class quantile target: 1% foreground per class at the
+    # calibration tile — the organ-like regime (47 compact masks per CT).
+    # (-3 sigma left every flagship mask empty, which under-exercises the
+    # transport instead of over-exercising it; sigma-based shifts are at
+    # the mercy of the logit distribution's tails)
+    alpha = -np.quantile(lf, 0.99, axis=0)
     w2 = w.copy()
     w2[0, 0, 0] += u[:, None] * alpha[None, :]
     out = dict(params)
@@ -313,11 +323,17 @@ def _measure(device, on_tpu: bool, volume_shape=None,
     for rep in range(n_repeats + 1):
         t0 = time.time()
         token = fetch_begin(pending[0]) if pending is not None else None
+        prev_slicer = pending[1] if pending is not None else None
+        # drop the previous device result BEFORE dispatching the next volume:
+        # the encode outputs in `token` are all the fetch needs, and the
+        # class-major uint8 masks are 1.2 GB at the bench volume — holding
+        # them across the next volume's accumulators OOMs the 16 GB chip
+        pending = None
         packed_dev, slicer = predictor.predict_to_device(
             params, preput=next_put, pack_threshold=0.5, pack_bits=use_bits)
         next_put = predictor.begin_put(vol)
-        if pending is not None:
-            fetch_finish(token, pending[1])
+        if token is not None:
+            fetch_finish(token, prev_slicer)
         pending = (packed_dev, slicer)
         jax.block_until_ready(packed_dev)
         if rep > 0:  # repeat 0 is the untimed warm-up
@@ -332,7 +348,9 @@ def _measure(device, on_tpu: bool, volume_shape=None,
     steady = []
     if on_tpu:
         token = predictor.begin_put(vol)
+        out = None
         for _ in range(3):
+            del out  # free the previous result before the next dispatch
             t0 = time.time()
             out, _ = predictor.predict_to_device(params, preput=token,
                                                  pack_threshold=0.5,
@@ -536,6 +554,7 @@ def report(res: dict) -> None:
         "steady_state_s": res.get("steady_state_s"),
         "train": res.get("train"),
         "train_heart": res.get("train_heart"),
+        "train_prostate": res.get("train_prostate"),
     }
     alt = res.get("alt")
     if alt:
@@ -631,6 +650,14 @@ def main() -> None:
                 print(f"# alt-shape inference measurement failed/stalled "
                       f"({type(e).__name__})", flush=True)
                 res["alt"] = None
+            try:
+                res["train_prostate"] = ex.submit(
+                    _measure_train, device, True,
+                    "prostate").result(timeout=extras_budget)
+            except Exception as e:
+                print(f"# prostate train measurement failed/stalled "
+                      f"({type(e).__name__})", flush=True)
+                res["train_prostate"] = None
         report(res)
         os._exit(0)
     res = _measure(device, False)

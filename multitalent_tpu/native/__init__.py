@@ -69,6 +69,11 @@ def get_lib():
         lib.rle_expand_bits.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_uint8, ctypes.POINTER(ctypes.c_uint8)]
+    if hasattr(lib, "rle_fill_ones"):
+        lib.rle_fill_ones.restype = None
+        lib.rle_fill_ones.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint8, ctypes.POINTER(ctypes.c_uint8)]
     _LIB = lib
     return _LIB
 
@@ -131,6 +136,25 @@ def rle_expand_u32(starts: np.ndarray, vals: np.ndarray, n: int,
         ctypes.c_int64(starts.shape[0]), ctypes.c_int64(n),
         out_strided.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.c_int64(stride_bytes // 4))
+    return True
+
+
+def rle_fill_ones(starts: np.ndarray, n: int, first: int,
+                  out_u8: np.ndarray) -> bool:
+    """Write only the value-1 runs of an alternating binary RLE into a
+    PRE-ZEROED uint8 array (np.zeros/calloc: pages untouched until a run
+    lands on them — O(foreground) work instead of O(n)). Returns False when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "rle_fill_ones"):
+        return False
+    starts = np.ascontiguousarray(starts, np.int32)
+    assert out_u8.dtype == np.uint8 and out_u8.flags.c_contiguous
+    lib.rle_fill_ones(
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(starts.shape[0]), ctypes.c_int64(n),
+        ctypes.c_uint8(1 if first else 0),
+        out_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return True
 
 

@@ -196,4 +196,20 @@ void rle_expand_bits(const int32_t* starts, int64_t n_runs, int64_t n,
   }
 }
 
+// Sparse variant: out arrives ZEROED (calloc — untouched zero pages), so
+// only the value-1 runs are written. For organ-like masks (~0-3% fg) this
+// touches ~25 MB instead of memsetting the whole multi-GB array — the dense
+// expand's page-touch cost (3-6 s per bench volume on this host) was the
+// last serialized piece of the mask fetch.
+void rle_fill_ones(const int32_t* starts, int64_t n_runs, int64_t n,
+                   uint8_t first, uint8_t* out) {
+  for (int64_t r = (first ? 0 : 1); r < n_runs; r += 2) {
+    int64_t lo = starts[r];
+    int64_t hi = r + 1 < n_runs ? starts[r + 1] : n;
+    if (lo >= n) break;
+    if (hi > n) hi = n;
+    memset(out + lo, 1, static_cast<size_t>(hi - lo));
+  }
+}
+
 }  // extern "C"

@@ -388,46 +388,94 @@ def strided_conv_geometry(x_shape, w_shape, z_stride: int, factors,
     return lo_z, hi_z, lo_y, lo_x
 
 
+def _packout_strided_weights(wp: jax.Array, out_factors, cout: int,
+                             cell_strides=(1, 1)) -> jax.Array:
+    """Extend a packed strided-conv weight [kz, kyp, kxp, P*Cin, Cout] so the
+    conv emits the NEXT stage's packing directly: output phase (qy, qx) is
+    the strided output at original offset (qy, qx), i.e. the same taps
+    shifted by q packed cells — so the phase-q copy of the weight sits at
+    tap offset +q with its own output-lane block (phase-major (qy, qx, c),
+    matching space_to_depth_yx). The conv then runs with out_f-times the
+    cell stride and out_f-1 extra taps per packed-out axis.
+
+    Why: the stage0->1 strided conv emitted unpacked C=60 (47% MXU N fill,
+    24 TFLOP/s measured) followed by a separate space-to-depth; emitting the
+    (1,2)-packed 120 lanes directly doubles the N fill and deletes the
+    repack copy."""
+    ofy, ofx = int(out_factors[0]), int(out_factors[1])
+    sy, sx = cell_strides  # packed-cell step per original output step
+    kz_, kyp, kxp = wp.shape[:3]
+    wpp = jnp.zeros((kz_, kyp + (ofy - 1) * sy, kxp + (ofx - 1) * sx,
+                     wp.shape[3], ofy * ofx * cout), wp.dtype)
+    for qy in range(ofy):
+        for qx in range(ofx):
+            q = qy * ofx + qx
+            wpp = wpp.at[:, qy * sy:qy * sy + kyp, qx * sx:qx * sx + kxp, :,
+                         q * cout:(q + 1) * cout].set(wp)
+    return wpp
+
+
 def prepare_packed_strided_conv3d(w: jax.Array, x_shape, *, z_stride: int = 2,
-                                  factors=(F, F), flip=()):
+                                  factors=(F, F), flip=(), out_factors=None):
     """Precompute the packed strided-conv weight (a scatter-build kLoop
-    fusion when left inside a tile loop) for apply via the prepared= arg."""
+    fusion when left inside a tile loop) for apply via the prepared= arg.
+    out_factors: also bake the NEXT stage's packing into the output lanes
+    (see _packout_strided_weights); pass the same value to apply."""
     lo_z, hi_z, lo_y, lo_x = strided_conv_geometry(x_shape, w.shape, z_stride,
                                                    factors, flip)
-    return pack_strided_conv_weights(w, factors, lo_y, lo_x)
+    wp = pack_strided_conv_weights(w, factors, lo_y, lo_x)
+    if out_factors is not None and tuple(out_factors) != (1, 1):
+        wp = _packout_strided_weights(
+            wp, out_factors, w.shape[4],
+            cell_strides=(2 // int(factors[0]), 2 // int(factors[1])))
+    return wp
 
 
 def packed_strided_conv3d(x_packed: jax.Array, w: jax.Array, *,
                           z_stride: int = 2, factors=(F, F),
                           precision=None, flip=(),
-                          prepared=None) -> jax.Array:
+                          prepared=None, out_factors=None) -> jax.Array:
     """Conv with strides (z_stride, 2, 2) over the ORIGINAL grid, input packed
-    by `factors`, output UNPACKED: (N, Z/sz, Y/2, X/2, Cout). nnU-Net's first
+    by `factors`, output UNPACKED: (N, Z/sz, Y/2, X/2, Cout) — or packed by
+    `out_factors`: (N, Z/sz, Y/2/ofy, X/2/ofx, ofy*ofx*Cout), phase-major,
+    equal to space_to_depth_yx(unpacked output, out_factors). nnU-Net's first
     strided conv of the next stage; SAME (torch symmetric) padding semantics.
 
     flip: spatial axes (0=z, 1=y, 2=x) executing in mirror-TTA weight-flip
     mode: `w` must arrive TAP-REVERSED on those axes and the padding switches
     to the flipped-world asymmetric pads (flipped_strided_pads), so the output
     equals flip(packed_strided(flip(x), w)) without any activation flips.
+    Output phases index the UNFLIPPED frame (flipw never flips activations),
+    so out_factors composes with flip unchanged.
 
-    prepared: prepare_packed_strided_conv3d output (w still supplies the
-    kernel extents)."""
+    prepared: prepare_packed_strided_conv3d output built with the SAME
+    out_factors (w still supplies the kernel extents)."""
     fy, fx = int(factors[0]), int(factors[1])
+    ofy, ofx = ((1, 1) if out_factors is None
+                else (int(out_factors[0]), int(out_factors[1])))
     kz = w.shape[0]
     lo_z, hi_z, lo_y, lo_x = strided_conv_geometry(
         x_packed.shape, w.shape, z_stride, factors, flip)
-    wp = (prepared if prepared is not None
-          else pack_strided_conv_weights(w, factors, lo_y, lo_x))
+    if prepared is not None:
+        wp = prepared
+    else:
+        wp = pack_strided_conv_weights(w, factors, lo_y, lo_x)
+        if (ofy, ofx) != (1, 1):
+            wp = _packout_strided_weights(wp, (ofy, ofx), w.shape[4],
+                                          cell_strides=(2 // fy, 2 // fx))
     kyp, kxp = wp.shape[1], wp.shape[2]
     # left pad in packed cells = -o_min of the tap table (original tap -lo
     # lands in packed cell floor(-lo / f)); right pad fills the packed kernel
+    # (incl. the out_factors phase extension)
     pady_l = -((-lo_y) // fy)
     padx_l = -((-lo_x) // fx)
     pad = ((lo_z, hi_z),
            (pady_l, kyp - 1 - pady_l),
            (padx_l, kxp - 1 - padx_l))
     return lax.conv_general_dilated(
-        x_packed, wp, window_strides=(z_stride, 2 // fy, 2 // fx), padding=pad,
+        x_packed, wp,
+        window_strides=(z_stride, (2 // fy) * ofy, (2 // fx) * ofx),
+        padding=pad,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), precision=precision)
 
 

@@ -251,7 +251,8 @@ def prepare_packed_unet_weights(model: GenericUNet, params, x_shape, *,
                 if cur != UNPACKED:
                     prep[f"{name}.strided"] = pc.prepare_packed_strided_conv3d(
                         w.astype(dtype), conv_xshape(w.shape[3]),
-                        z_stride=stride[0], factors=cur, flip=flip_combo)
+                        z_stride=stride[0], factors=cur, flip=flip_combo,
+                        out_factors=nxt if nxt != UNPACKED else None)
                     z, y, x = z // stride[0], y // 2, x // 2
                     cur = nxt
                 else:
@@ -375,20 +376,25 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
             bp = p[f"block{i}"]
             if i == 0 and d > 0:
                 if cur != UNPACKED:
-                    # strided conv consumes the packing
+                    # strided conv consumes the packing; when the next stage
+                    # is packed too, it also PRODUCES that packing (output
+                    # phases baked into the weight — N fill 60->120 lanes on
+                    # the stage0->1 flagship site, and no separate repack)
                     w, b = bp["conv"]["kernel"], bp["conv"]["bias"]
                     out = pc.packed_strided_conv3d(
                         x.astype(dtype), w.astype(dtype), z_stride=stride[0],
                         factors=cur, flip=flip_combo,
+                        out_factors=nxt if nxt != UNPACKED else None,
                         prepared=prep.get(f"{name}.strided")
                         if prep else None)
-                    out = out + b.astype(dtype)
                     if nxt != UNPACKED:
-                        out = pc.space_to_depth_yx(out, nxt)
+                        out = out + jnp.tile(b.astype(dtype),
+                                             pc.nphases(nxt))
                         x = pc.packed_instance_norm(
                             out, bp["norm"]["scale"], bp["norm"]["bias"],
                             factors=nxt, negative_slope=slope)
                     else:
+                        out = out + b.astype(dtype)
                         x = _instance_norm_lrelu(
                             out, bp["norm"]["scale"], bp["norm"]["bias"], slope)
                     cur = nxt

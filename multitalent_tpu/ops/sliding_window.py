@@ -440,9 +440,24 @@ def _make_tiled_runner(apply_fn_id, patch_size, in_channels, num_classes,
         words of finalize_packed transition whenever ANY class flips, and
         alternating binary runs need no values on the link — about half the
         bytes per run, and the host-side unpack_class_bits pass folds into
-        the run expansion itself."""
-        probs = _blend(acc, cnt)
-        return jnp.moveaxis(probs > threshold, -1, 0).astype(jnp.uint8)
+        the run expansion itself.
+
+        Thresholds IN PACKED SPACE as `acc > t * cnt` (equivalent to
+        probs > t since cnt > 0): the compare fuses into one elementwise
+        pass over the f16 accumulators and only uint8 ever materializes —
+        blending to full-res f32 first cost a 4.9 GB intermediate at the
+        (256,320,320)x47 bench volume and OOMed the 16 GB chip."""
+        a = acc.astype(jnp.float32)
+        c = cnt.astype(jnp.float32)
+        if nph > 1:
+            az, ay, ax = a.shape[:3]
+            a = a.reshape(az, ay, ax, nph, num_classes)
+            bits = (a > threshold * c[..., None]).astype(jnp.uint8)
+            b = bits.reshape(az, ay, ax, fy, fx, num_classes)
+            b = jnp.transpose(b, (5, 0, 1, 3, 2, 4))  # (K, Z, Y', fy, X', fx)
+            return b.reshape(num_classes, az, ay * fy, ax * fx)
+        bits = (a > threshold * c).astype(jnp.uint8)
+        return jnp.moveaxis(bits, -1, 0)
 
     @jax.jit
     def finalize(acc, cnt):
@@ -985,15 +1000,23 @@ def bits_fetch_begin(bits_dev):
 
 def bits_fetch_finish(token) -> np.ndarray:
     """Transfer + expand a bits_fetch_begin token into (K, Z, Y, X) bool."""
+    import time as _time
     from multitalent_tpu.utils.alloc import fast_empty
+    trace = os.environ.get("MTTPU_FETCH_TRACE") == "1"
     if token[0] == "words":
         _, k, wtoken = token
         return unpack_class_bits(rle_fetch_finish(wtoken), k)
     _, shape, cnt, first, idx_dev, payload_dev = token
     n = int(np.prod(shape))
     m = -(-n // _BITS_BLK)
+    t0 = _time.time()
     idx = np.asarray(idx_dev)
+    t1 = _time.time()
     payload = np.asarray(payload_dev)
+    if trace:
+        print(f"# bits_finish: idx {t1-t0:.3f}s payload "
+              f"{_time.time()-t1:.3f}s", flush=True)
+        t1 = _time.time()
     valid = idx < m
     bits = np.unpackbits(np.ascontiguousarray(payload[valid]).view(np.uint8),
                          bitorder="little").reshape(-1, _BITS_BLK)
@@ -1001,11 +1024,23 @@ def bits_fetch_finish(token) -> np.ndarray:
     starts = (idx[valid][row].astype(np.int64) * _BITS_BLK + col)
     starts = starts[starts < n].astype(np.int32)
     assert starts.shape[0] == cnt, (starts.shape[0], cnt)
-    out = fast_empty((n,), np.uint8)
-    if not native.rle_expand_bits(starts, n, first, out):
+    if trace:
+        t2 = _time.time()
+        print(f"# bits_finish: decode {t2-t1:.3f}s", flush=True)
+    # np.zeros = calloc: zero pages stay untouched until a foreground run
+    # lands on them, so the expansion is O(foreground bytes). A dense
+    # memset-per-run expansion into fast_empty paid 3-6 s of page-touch per
+    # (47,256,320,320) volume — the last serialized piece of the fetch.
+    out = np.zeros((n,), np.uint8)
+    if trace:
+        t3 = _time.time()
+        print(f"# bits_finish: alloc {t3-t2:.3f}s", flush=True)
+    if not native.rle_fill_ones(starts, n, first, out):
         lengths = np.diff(np.append(starts, n))
         vals = np.where(np.arange(cnt) % 2 == 0, first, 1 - first)
         out[:] = np.repeat(vals.astype(np.uint8), lengths)
+    if trace:
+        print(f"# bits_finish: expand {_time.time()-t3:.3f}s", flush=True)
     return out.view(np.bool_).reshape(shape)
 
 

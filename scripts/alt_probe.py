@@ -61,14 +61,16 @@ def main():
     for rep in range(reps + 1):
         t0 = time.time()
         token = bits_fetch_begin(pending[0]) if pending is not None else None
+        prev_slicer = pending[1] if pending is not None else None
+        pending = None  # free the 1.2 GB-class uint8 masks before dispatch
         t1 = time.time()
         packed_dev, slicer = predictor.predict_to_device(
             params, preput=next_put, pack_threshold=0.5, pack_bits=True)
         t2 = time.time()
         next_put = predictor.begin_put(vol)
         t3 = time.time()
-        if pending is not None:
-            bits_fetch_finish(token)[(slice(None),) + tuple(pending[1])]
+        if token is not None:
+            bits_fetch_finish(token)[(slice(None),) + tuple(prev_slicer)]
         t4 = time.time()
         pending = (packed_dev, slicer)
         jax.block_until_ready(packed_dev)
@@ -83,7 +85,9 @@ def main():
     # steady-state: volume resident, no fetch in the window
     token = predictor.begin_put(vol)
     steady = []
+    out = None
     for _ in range(3):
+        del out  # free the previous result before the next dispatch
         t0 = time.time()
         out, _ = predictor.predict_to_device(params, preput=token,
                                              pack_threshold=0.5,

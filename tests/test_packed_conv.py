@@ -57,6 +57,43 @@ def test_packed_strided_conv_consumes_packing(z_stride, factors):
     np.testing.assert_allclose(ref, got, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("out_factors", FACTOR_SETS)
+@pytest.mark.parametrize("factors", [(2, 2), (1, 2)])
+@pytest.mark.parametrize("z_stride", [1, 2])
+def test_packed_strided_conv_packed_output(z_stride, factors, out_factors):
+    """out_factors: the strided conv emits the next stage's packing directly
+    — must equal space_to_depth of the unpacked strided output, including
+    under mirror-TTA flipped-world padding."""
+    x = jnp.asarray(rng.randn(1, 4, 8, 16, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 3, 6).astype(np.float32))
+    xp = pc.space_to_depth_yx(x, factors)
+    ref = pc.space_to_depth_yx(
+        pc.packed_strided_conv3d(xp, w, z_stride=z_stride, factors=factors),
+        out_factors)
+    got = pc.packed_strided_conv3d(xp, w, z_stride=z_stride, factors=factors,
+                                   out_factors=out_factors)
+    assert ref.shape == got.shape
+    np.testing.assert_allclose(ref, got, atol=2e-5, rtol=1e-4)
+    # prepared-weight path agrees
+    prep = pc.prepare_packed_strided_conv3d(w, xp.shape, z_stride=z_stride,
+                                            factors=factors,
+                                            out_factors=out_factors)
+    got2 = pc.packed_strided_conv3d(xp, w, z_stride=z_stride, factors=factors,
+                                    out_factors=out_factors, prepared=prep)
+    np.testing.assert_allclose(ref, got2, atol=2e-5, rtol=1e-4)
+    # flipped-world padding composes with packed output
+    for flip in [(2,), (1, 2)]:
+        wf = jnp.flip(w, axis=[a for a in flip])
+        flipped_in = jnp.flip(x, axis=[a + 1 for a in flip])
+        ref_f = pc.space_to_depth_yx(
+            jnp.flip(conv3d_same(flipped_in, w, strides=(z_stride, 2, 2)),
+                     axis=[a + 1 for a in flip]), out_factors)
+        got_f = pc.packed_strided_conv3d(
+            xp, wf, z_stride=z_stride, factors=factors, flip=flip,
+            out_factors=out_factors)
+        np.testing.assert_allclose(ref_f, got_f, atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("factors", FACTOR_SETS)
 @pytest.mark.parametrize("z_stride", [1, 2])
 def test_packed_transpose_matches_flax(z_stride, factors):
