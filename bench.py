@@ -580,13 +580,29 @@ def main() -> None:
 
     import jax
 
-    try:
-        jax.devices()
+    def _rerun_on_cpu():
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+    # A wedged relay can make jax.devices() HANG (observed round 5: backend
+    # init never returned after the tunnel died mid-run), not just raise —
+    # probe it under a watchdog so the benchmark always reports something.
+    _init_ex = ThreadPoolExecutor(1)  # no shutdown: joining a hung init
+    try:                              # thread would block forever
+        _init_ex.submit(jax.devices).result(
+            timeout=float(os.environ.get("MTTPU_BENCH_INIT_TIMEOUT", 300)))
     except RuntimeError:
         # accelerator backend unreachable (e.g. tunnel down): rerun on CPU
         if os.environ.get("JAX_PLATFORMS") != "cpu":
-            os.environ["JAX_PLATFORMS"] = "cpu"
-            os.execv(sys.executable, [sys.executable] + sys.argv)
+            _rerun_on_cpu()
+        raise
+    except TimeoutError:
+        print("# accelerator backend init hung; falling back to CPU",
+              flush=True)
+        if os.environ.get("JAX_PLATFORMS") != "cpu":
+            # the hung init thread would block interpreter exit; exec
+            # replaces the process image outright
+            _rerun_on_cpu()
         raise
 
     from multitalent_tpu.configuration import enable_compilation_cache
