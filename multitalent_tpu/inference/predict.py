@@ -141,8 +141,9 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
         import jax.numpy as jnp
         from multitalent_tpu.ops.device_export import (
             device_argmax_resample_nearest, device_resample_argmax,
-            device_resample_threshold_packed)
-        from multitalent_tpu.ops.sliding_window import rle_fetch_begin
+            device_resample_threshold_bits, device_resample_threshold_packed)
+        from multitalent_tpu.ops.sliding_window import (bits_fetch_begin,
+                                                        rle_fetch_begin)
         probs_c = probs_dev[tuple(slicer) + (slice(None),)]
         # undo the planner's axis transpose on device (size_after_cropping is
         # in the original axis order, predict.py:222-235 analog)
@@ -152,9 +153,18 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
         out_shape = tuple(int(s) for s in properties["size_after_cropping"])
         packed_token = None
         if region_class_order is not None or export_region_niftis:
-            # mean > 0.5  <=>  fold-sum > 0.5 * n_folds
-            packed_token = rle_fetch_begin(device_resample_threshold_packed(
-                probs_c, out_shape, threshold=0.5 * len(all_fold_params)))
+            # mean > 0.5  <=>  fold-sum > 0.5 * n_folds. Class-major
+            # bit-plane transport by default (~half the bytes per run and no
+            # host-side bit extraction); MTTPU_SW_BITS=0 keeps the word path
+            thr = 0.5 * len(all_fold_params)
+            if os.environ.get("MTTPU_SW_BITS", "1") != "0":
+                packed_token = ("bits", bits_fetch_begin(
+                    device_resample_threshold_bits(probs_c, out_shape,
+                                                   threshold=thr)))
+            else:
+                packed_token = ("words", rle_fetch_begin(
+                    device_resample_threshold_packed(probs_c, out_shape,
+                                                     threshold=thr)))
         seg_dev = None
         if region_class_order is None:
             if fast_mode == "fastest":
@@ -169,27 +179,37 @@ def predict_cases(model: str, list_of_lists: list[list[str]],
 
     def _flush_device_finish(out_fname, properties, packed_token, seg_dev):
         from multitalent_tpu.ops.device_export import (
-            segmentation_from_regions_packed)
-        from multitalent_tpu.ops.sliding_window import rle_fetch_finish
+            segmentation_from_regions_bits, segmentation_from_regions_packed)
+        from multitalent_tpu.ops.sliding_window import (bits_fetch_finish,
+                                                        rle_fetch_finish)
         from multitalent_tpu.inference.segmentation_export import (
             save_segmentation_nifti)
-        packed = (rle_fetch_finish(packed_token)
-                  if packed_token is not None else None)
+        masks = packed = None
+        if packed_token is not None:
+            kind, token = packed_token
+            if kind == "bits":
+                masks = bits_fetch_finish(token)  # (K, Z, Y, X) bool
+            else:
+                packed = rle_fetch_finish(token)
         if region_class_order is not None:
-            seg = segmentation_from_regions_packed(packed, region_class_order)
+            seg = (segmentation_from_regions_bits(masks, region_class_order)
+                   if masks is not None else
+                   segmentation_from_regions_packed(packed,
+                                                    region_class_order))
         else:
             seg = np.asarray(seg_dev)
         maybe_mkdir(os.path.dirname(out_fname) or ".")
         futures.append(export_pool.submit(
             save_segmentation_nifti, seg.astype(np.float32), out_fname,
             properties))
-        if export_region_niftis and packed is not None:
+        if export_region_niftis and (masks is not None or packed is not None):
             from multitalent_tpu.tasks.multitalent import REGIONS
             individual = maybe_mkdir(os.path.join(
                 os.path.dirname(out_fname), "individual"))
             case_id = os.path.basename(out_fname)[:-7]
             for i, r in enumerate(REGIONS):
-                mask = ((packed[..., i // 32] >> np.uint32(i % 32)) & 1)
+                mask = (masks[i] if masks is not None else
+                        ((packed[..., i // 32] >> np.uint32(i % 32)) & 1))
                 rdir = maybe_mkdir(os.path.join(individual, r))
                 futures.append(export_pool.submit(
                     save_segmentation_nifti, mask.astype(np.float32),

@@ -156,6 +156,50 @@ def device_resample_threshold_packed(probs_dev, out_shape,
     return jnp.stack(words, axis=-1)
 
 
+@lru_cache(maxsize=8)
+def _threshold_bits_fn(threshold: float):
+    @jax.jit
+    def fn(resized):
+        """resized (Z,Y,X,c) -> class-major uint8 masks (c, Z, Y, X)."""
+        return jnp.moveaxis(resized > threshold, -1, 0).astype(jnp.uint8)
+    return fn
+
+
+def device_resample_threshold_bits(probs_dev, out_shape,
+                                   threshold: float = 0.5,
+                                   chunk_channels: int = 8):
+    """probs (Z, Y, X, K) -> CLASS-MAJOR thresholded uint8 masks
+    (K, Z', Y', X') on device — the finalize_bits layout, feeding the
+    bit-plane RLE transport (sliding_window.bits_fetch_begin): ~half the
+    bytes per run of the uint32 word planes, and the host consumes each
+    region as a plain array view instead of 47 strided bit-extraction
+    passes."""
+    k = probs_dev.shape[-1]
+    out_shape = tuple(int(s) for s in out_shape)
+    c = min(chunk_channels, k)
+    pad = (-k) % c
+    if pad:  # padded channels threshold False for any threshold >= 0
+        probs_dev = jnp.pad(probs_dev, [(0, 0)] * (probs_dev.ndim - 1)
+                            + [(0, pad)], constant_values=-60000.0)
+    resize = _resize_chunk_fn(probs_dev.shape[:-1], out_shape, c)
+    tb = _threshold_bits_fn(float(threshold))
+    chunks = [tb(resize(probs_dev, np.int32(base)))
+              for base in range(0, k + pad, c)]
+    out = jnp.concatenate(chunks, axis=0)
+    return out[:k] if pad else out
+
+
+def segmentation_from_regions_bits(masks_kzyx: np.ndarray,
+                                   region_class_order) -> np.ndarray:
+    """Host-side: class-major region masks (K, Z, Y, X) bool -> labelmap
+    written in region_class_order (later regions overwrite earlier ones,
+    matching segmentation_from_probs)."""
+    seg = np.zeros(masks_kzyx.shape[1:], np.float32)
+    for i, cls in enumerate(region_class_order):
+        seg[masks_kzyx[i]] = cls
+    return seg
+
+
 def segmentation_from_regions_packed(packed_host: np.ndarray,
                                      region_class_order) -> np.ndarray:
     """Host-side: packed region bits (Z,Y,X,nwords) -> labelmap written in

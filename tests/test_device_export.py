@@ -63,6 +63,28 @@ def test_device_threshold_packed_matches_host_export():
     assert np.mean(seg != host_seg) < 0.02
 
 
+def test_device_threshold_bits_matches_packed():
+    """Class-major bits export (the bit-plane transport's producer) must
+    agree exactly with the word-packed export and drive the same labelmap."""
+    from multitalent_tpu.ops.device_export import (
+        device_resample_threshold_bits, segmentation_from_regions_bits)
+    k = 37
+    probs = rng.rand(6, 7, 8, k).astype(np.float32)
+    out_shape = (9, 10, 12)
+    packed = np.asarray(device_resample_threshold_packed(
+        jnp.asarray(probs), out_shape, threshold=0.5, chunk_channels=4))
+    word_bits = np.stack([((packed[..., i // 32] >> np.uint32(i % 32)) & 1)
+                          .astype(bool) for i in range(k)])
+    bits = np.asarray(device_resample_threshold_bits(
+        jnp.asarray(probs), out_shape, threshold=0.5, chunk_channels=4))
+    assert bits.shape == (k, *out_shape)
+    np.testing.assert_array_equal(bits.astype(bool), word_bits)
+    order = list(range(1, k + 1))
+    np.testing.assert_array_equal(
+        segmentation_from_regions_bits(bits.astype(bool), order),
+        segmentation_from_regions_packed(packed, order))
+
+
 def test_downscaling_resample_matches_host_no_antialias():
     """Inverse resample where the original grid is COARSER than the plans'
     target spacing (downscaling on every axis). jax.image.resize's default
