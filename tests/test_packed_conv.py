@@ -282,6 +282,58 @@ def test_packed_train_forward_grads_match(monkeypatch):
                               ds=True)
 
 
+@pytest.mark.slow  # 6-pool anisotropic topology, multi-minute CPU compile
+def test_packed_forward_prostate_topology(monkeypatch):
+    """Task005_Prostate's plan geometry (two leading 1x3x3 stages, six pools
+    [1,2,2]x2 [2,2,2]x2 [1,2,2]x2, 2 modalities) through the packed training
+    forward: parity vs model.apply + grads flow (regression cover for the
+    prostate bench config)."""
+    from functools import partial
+
+    from multitalent_tpu.augment.pipeline import ds_scales_from_pools
+    from multitalent_tpu.models.generic_unet import GenericUNet
+    from multitalent_tpu.ops.packed_unet import make_train_forward_fn
+    from multitalent_tpu.training.losses import (dc_and_ce_loss,
+                                                 deep_supervision_loss,
+                                                 ds_loss_weights)
+
+    monkeypatch.setenv("MTTPU_PACKED_TRAIN", "1")
+    pools = ((1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2), (1, 2, 2), (1, 2, 2))
+    convs = ((1, 3, 3), (1, 3, 3)) + ((3, 3, 3),) * 5
+    # fp32: tight parity (bf16 through six packed stages carries ~8% worst-
+    # voxel accumulation noise, which would mask real bugs)
+    model = GenericUNet(input_channels=2, base_num_features=8, num_classes=3,
+                        pool_op_kernel_sizes=pools, conv_kernel_sizes=convs,
+                        deep_supervision=True, dtype=jnp.float32)
+    patch = (8, 64, 64)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, *patch, 2)))["params"]
+    fwd = make_train_forward_fn(model)
+    x = jnp.asarray(rng.randn(2, *patch, 2).astype(np.float32))
+    outs = fwd(params, x)
+    ref = model.apply({"params": params}, x, deep_supervision=True)
+    for a, b in zip(outs, ref):
+        bf = np.asarray(b, np.float32)
+        d = np.abs(np.asarray(a, np.float32) - bf)
+        scale = np.abs(bf).max() + 1e-6
+        assert d.max() < 5e-3 * scale, (d.max(), scale)
+
+    ws = [float(w) for w in ds_loss_weights(len(pools), mask_lowest=True)]
+    scales = ds_scales_from_pools(pools)
+    tgt = [jnp.asarray(rng.randint(0, 3, (
+        2, *[max(1, int(round(p * s))) for p, s in zip(patch, sc)]))
+        .astype(np.float32)) for sc in scales[:len(ws)]]
+
+    def loss_fn(p):
+        return deep_supervision_loss(
+            fwd(p, x), tgt, partial(dc_and_ce_loss, batch_dice=False), ws)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g, np.float32)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
 def _check_packed_train_grads(monkeypatch, pools, ds):
     from multitalent_tpu.ops.packed_unet import make_train_forward_fn
     monkeypatch.setenv("MTTPU_PACKED_TRAIN", "1")
