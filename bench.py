@@ -308,7 +308,9 @@ def _measure(device, on_tpu: bool, volume_shape=None,
     # i's compute: the ~125 MB transfer then streams over the relay while the
     # device is busy instead of serializing in front of the next dispatch
     # (predict_cases pipelines identically)
-    next_put = predictor.begin_put(vol)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+    put_pool = _TPE(1)
+    next_put = put_pool.submit(predictor.begin_put, vol)
 
     def fetch_begin(dev_result):
         return (bits_fetch_begin(dev_result) if use_bits
@@ -330,8 +332,12 @@ def _measure(device, on_tpu: bool, volume_shape=None,
         # them across the next volume's accumulators OOMs the 16 GB chip
         pending = None
         packed_dev, slicer = predictor.predict_to_device(
-            params, preput=next_put, pack_threshold=0.5, pack_bits=use_bits)
-        next_put = predictor.begin_put(vol)
+            params, preput=next_put.result(), pack_threshold=0.5,
+            pack_bits=use_bits)
+        # the ~0.3-0.5 s of host copies in begin_put (fp16 cast + transfer
+        # staging of the 128 MB volume) run on a worker thread, overlapping
+        # this volume's compute instead of sitting in the serialized window
+        next_put = put_pool.submit(predictor.begin_put, vol)
         if token is not None:
             fetch_finish(token, prev_slicer)
         pending = (packed_dev, slicer)
