@@ -190,6 +190,13 @@ def _flip_conv_kernels(params, axes, cast_to=None):
     return jax.lax.optimization_barrier(flipped)
 
 
+def _packout_enabled() -> bool:
+    """Packed-output strided conv (next stage's packing baked into the
+    weight). MTTPU_PACKOUT_STRIDED=0 bisects back to unpack-then-repack."""
+    import os
+    return os.environ.get("MTTPU_PACKOUT_STRIDED", "1") != "0"
+
+
 def _merged2_qualifies(factors, groups, x_shape) -> bool:
     """Gate for the two-input merged decoder conv: same adjudication as the
     single-input merged kernel ((2,2), each half one K tile, block grid
@@ -252,7 +259,8 @@ def prepare_packed_unet_weights(model: GenericUNet, params, x_shape, *,
                     prep[f"{name}.strided"] = pc.prepare_packed_strided_conv3d(
                         w.astype(dtype), conv_xshape(w.shape[3]),
                         z_stride=stride[0], factors=cur, flip=flip_combo,
-                        out_factors=nxt if nxt != UNPACKED else None)
+                        out_factors=nxt if (nxt != UNPACKED
+                                            and _packout_enabled()) else None)
                     z, y, x = z // stride[0], y // 2, x // 2
                     cur = nxt
                 else:
@@ -379,17 +387,24 @@ def packed_unet_forward(model: GenericUNet, params, x, *,
                     # strided conv consumes the packing; when the next stage
                     # is packed too, it also PRODUCES that packing (output
                     # phases baked into the weight — N fill 60->120 lanes on
-                    # the stage0->1 flagship site, and no separate repack)
+                    # the stage0->1 flagship site, and no separate repack).
+                    # MTTPU_PACKOUT_STRIDED=0 bisects back to the
+                    # unpack-then-repack formulation.
+                    packout = (nxt != UNPACKED and _packout_enabled())
                     w, b = bp["conv"]["kernel"], bp["conv"]["bias"]
                     out = pc.packed_strided_conv3d(
                         x.astype(dtype), w.astype(dtype), z_stride=stride[0],
                         factors=cur, flip=flip_combo,
-                        out_factors=nxt if nxt != UNPACKED else None,
+                        out_factors=nxt if packout else None,
                         prepared=prep.get(f"{name}.strided")
                         if prep else None)
                     if nxt != UNPACKED:
-                        out = out + jnp.tile(b.astype(dtype),
-                                             pc.nphases(nxt))
+                        if packout:
+                            out = out + jnp.tile(b.astype(dtype),
+                                                 pc.nphases(nxt))
+                        else:
+                            out = pc.space_to_depth_yx(out + b.astype(dtype),
+                                                       nxt)
                         x = pc.packed_instance_norm(
                             out, bp["norm"]["scale"], bp["norm"]["bias"],
                             factors=nxt, negative_slope=slope)
