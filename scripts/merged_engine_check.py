@@ -38,6 +38,7 @@ def main():
         jax.device_put(jnp.zeros((1, *patch, 1)), dev))["params"]
     vol = np.random.RandomState(3).randn(1, *dims).astype(np.float32)
 
+    import time
     outs = {}
     for arm, env in (("dense", "0"), ("merged", "1")):
         os.environ["MTTPU_PALLAS_MERGED"] = env
@@ -48,8 +49,10 @@ def main():
             step_size=0.5, do_mirroring=True, mirror_axes=(0, 1, 2),
             use_gaussian=True, device=dev,
             packed_apply=(pfn, pfac) if pfn is not None else None)
+        t0 = time.time()
         outs[arm] = np.asarray(pred(params, vol), np.float32)
-        print(f"# {arm} done", flush=True)
+        print(f"# {arm} done ({time.time()-t0:.1f} s incl. compile)",
+              flush=True)
     os.environ.pop("MTTPU_PALLAS_MERGED", None)
 
     d, m = outs["dense"], outs["merged"]
