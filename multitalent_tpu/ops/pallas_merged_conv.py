@@ -141,7 +141,7 @@ def _merged_kernel(x_ref, w_ref, my_ref, mx_ref, out_ref, xblk, sems, *,
         out_ref[0] = acc[:].reshape(bz, by, bx, cout).astype(out_ref.dtype)
 
     if scheme == "22":
-        def body(acc, xy, xx, xc):
+        def body(acc, xy, xxh, xc):
             # Build each merged view ONCE per block into VMEM scratch (per-dz
             # GEMMs then slice only the z halo, which is free tile indexing):
             # computing the selects per dz instead materializes 3x the
@@ -153,29 +153,34 @@ def _merged_kernel(x_ref, w_ref, my_ref, mx_ref, out_ref, xblk, sems, *,
             # y-edges: py=1 lanes need the y-1 cell, py=0 the y+1 cell
             xy[:] = jnp.where(my, xv[:, 0:by, 8:8 + bx, :],
                               xv[:, 2:by + 2, 8:8 + bx, :])
-            # x-edges: px=1 lanes need x-1, px=0 x+1
-            xx[:] = jnp.where(mx, xv[:, 1:1 + by, 7:7 + bx, :],
-                              xv[:, 1:1 + by, 9:9 + bx, :])
+            # x-edges WITH the y halo kept: the corner operand is then one
+            # y-select of this buffer instead of the nested two-select on
+            # xv (the y slices are free major-dim views) — 4 block-volume
+            # selects become ~3.1
+            xxh[:] = jnp.where(mx, xv[:, :, 7:7 + bx, :],
+                               xv[:, :, 9:9 + bx, :])
             # corners: quadrant (py, px) -> (y -/+ 1, x -/+ 1)
-            xc[:] = jnp.where(
-                my,
-                jnp.where(mx, xv[:, 0:by, 7:7 + bx, :],
-                          xv[:, 0:by, 9:9 + bx, :]),
-                jnp.where(mx, xv[:, 2:by + 2, 7:7 + bx, :],
-                          xv[:, 2:by + 2, 9:9 + bx, :]))
+            xc[:] = jnp.where(my, xxh[:, 0:by], xxh[:, 2:by + 2])
             acc[:] = jnp.zeros_like(acc)
             for dz in range(3):
                 acc[:] += jnp.dot(
                     xv[dz:dz + bz, 1:1 + by, 8:8 + bx, :].reshape(M, c),
                     w_ref[dz, 0], preferred_element_type=jnp.float32)
-                for g, buf in ((1, xy), (2, xx), (3, xc)):
-                    acc[:] += jnp.dot(buf[dz:dz + bz].reshape(M, c),
-                                      w_ref[dz, g],
-                                      preferred_element_type=jnp.float32)
+                acc[:] += jnp.dot(xy[dz:dz + bz].reshape(M, c),
+                                  w_ref[dz, 1],
+                                  preferred_element_type=jnp.float32)
+                acc[:] += jnp.dot(
+                    xxh[dz:dz + bz, 1:1 + by].reshape(M, c),
+                    w_ref[dz, 2], preferred_element_type=jnp.float32)
+                acc[:] += jnp.dot(xc[dz:dz + bz].reshape(M, c),
+                                  w_ref[dz, 3],
+                                  preferred_element_type=jnp.float32)
             _finish(acc)
 
         pl.run_scoped(body, pltpu.VMEM((M, cout), jnp.float32),
-                      *([pltpu.VMEM((bz + 2, by, bx, c), xblk.dtype)] * 3))
+                      pltpu.VMEM((bz + 2, by, bx, c), xblk.dtype),
+                      pltpu.VMEM((bz + 2, by + 2, bx, c), xblk.dtype),
+                      pltpu.VMEM((bz + 2, by, bx, c), xblk.dtype))
     else:  # "12": y unpacked, merge x only (full y halo kept for dy slicing)
         def body(acc, xx):
             mx = (mx_ref[0, :] > 0.5).reshape(1, 1, 1, c)
@@ -288,34 +293,40 @@ def _merged2_kernel(a_ref, b_ref, w_ref, mya_ref, mxa_ref, myb_ref, mxb_ref,
         acc[:] = jnp.zeros_like(acc)
         for h, (blk, c, my_r, mx_r) in enumerate(
                 ((ablk, ca, mya_ref, mxa_ref), (bblk, cb, myb_ref, mxb_ref))):
-            xy, xx, xc = scr[3 * h:3 * h + 3]
+            xy, xxh, xc = scr[3 * h:3 * h + 3]
             my = (my_r[0, :] > 0.5).reshape(1, 1, 1, c)
             mx = (mx_r[0, :] > 0.5).reshape(1, 1, 1, c)
             xv = blk[slot]
             xy[:] = jnp.where(my, xv[:, 0:by, 8:8 + bx, :],
                               xv[:, 2:by + 2, 8:8 + bx, :])
-            xx[:] = jnp.where(mx, xv[:, 1:1 + by, 7:7 + bx, :],
-                              xv[:, 1:1 + by, 9:9 + bx, :])
-            xc[:] = jnp.where(
-                my,
-                jnp.where(mx, xv[:, 0:by, 7:7 + bx, :],
-                          xv[:, 0:by, 9:9 + bx, :]),
-                jnp.where(mx, xv[:, 2:by + 2, 7:7 + bx, :],
-                          xv[:, 2:by + 2, 9:9 + bx, :]))
+            # x-edges with y halo; corners are one y-select of it (see
+            # _merged_kernel)
+            xxh[:] = jnp.where(mx, xv[:, :, 7:7 + bx, :],
+                               xv[:, :, 9:9 + bx, :])
+            xc[:] = jnp.where(my, xxh[:, 0:by], xxh[:, 2:by + 2])
             for dz in range(3):
                 acc[:] += jnp.dot(
                     xv[dz:dz + bz, 1:1 + by, 8:8 + bx, :].reshape(M, c),
                     w_ref[h, dz, 0], preferred_element_type=jnp.float32)
-                for gi, buf in ((1, xy), (2, xx), (3, xc)):
-                    acc[:] += jnp.dot(buf[dz:dz + bz].reshape(M, c),
-                                      w_ref[h, dz, gi],
-                                      preferred_element_type=jnp.float32)
+                acc[:] += jnp.dot(xy[dz:dz + bz].reshape(M, c),
+                                  w_ref[h, dz, 1],
+                                  preferred_element_type=jnp.float32)
+                acc[:] += jnp.dot(
+                    xxh[dz:dz + bz, 1:1 + by].reshape(M, c),
+                    w_ref[h, dz, 2], preferred_element_type=jnp.float32)
+                acc[:] += jnp.dot(xc[dz:dz + bz].reshape(M, c),
+                                  w_ref[h, dz, 3],
+                                  preferred_element_type=jnp.float32)
         out_ref[0] = acc[:].reshape(bz, by, bx, cout).astype(out_ref.dtype)
 
     pl.run_scoped(
         body, pltpu.VMEM((M, cout), jnp.float32),
-        *([pltpu.VMEM((bz + 2, by, bx, ca), ablk.dtype)] * 3),
-        *([pltpu.VMEM((bz + 2, by, bx, cb), bblk.dtype)] * 3))
+        pltpu.VMEM((bz + 2, by, bx, ca), ablk.dtype),
+        pltpu.VMEM((bz + 2, by + 2, bx, ca), ablk.dtype),
+        pltpu.VMEM((bz + 2, by, bx, ca), ablk.dtype),
+        pltpu.VMEM((bz + 2, by, bx, cb), bblk.dtype),
+        pltpu.VMEM((bz + 2, by + 2, bx, cb), bblk.dtype),
+        pltpu.VMEM((bz + 2, by, bx, cb), bblk.dtype))
 
 
 @lru_cache(maxsize=32)
