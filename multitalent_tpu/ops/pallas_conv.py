@@ -126,7 +126,22 @@ def _build(n, z, y, x, c, cout, dtype_name, bz, by, bx, interpret=False):
 
 
 def _pick_blocks(z, y, x):
-    """Block sizes dividing the spatial dims, sized for ~1 MB VMEM blocks."""
+    """Block sizes dividing the spatial dims, sized for ~1 MB VMEM blocks.
+
+    MTTPU_PALLAS_BLOCK="bz,by,bx" overrides (A/B hook): used when it divides
+    the dims (bx a multiple of 8), otherwise the defaults apply — engine
+    shapes vary per stage, so a global override must degrade gracefully."""
+    import os
+    ov = os.environ.get("MTTPU_PALLAS_BLOCK")
+    if ov:
+        try:
+            obz, oby, obx = (int(v) for v in ov.split(","))
+        except ValueError:
+            obz = oby = obx = 0
+        if (obx % 8 == 0 and obx > 0 and z % obz == 0 and y % oby == 0
+                and x % obx == 0):
+            return obz, oby, obx
+
     def best(dim, targets):
         for t in targets:
             if dim % t == 0:

@@ -448,3 +448,25 @@ def test_engine_weight_flip_matches_activation_flip():
     finally:
         os.environ.pop("MTTPU_SW_FLIPW", None)
         os.environ.pop("MTTPU_PACKED_CONV", None)
+
+
+def test_packout_strided_toggle_parity(monkeypatch):
+    """MTTPU_PACKOUT_STRIDED bisect switch: the packed-output strided conv
+    (next stage's packing baked into the weight) and the unpack-then-repack
+    formulation agree at net level — guards the bias placement (tile-bias in
+    packed space vs bias-then-space-to-depth) in packed_unet_forward."""
+    pools = (((2, 2, 2),) * 2 + ((1, 2, 2),))
+    model = _unet(pools)
+    patch = (8, 16, 16)
+    x = jnp.asarray(rng.randn(2, *patch, 1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.1 * jnp.asarray(rng.randn(*p.shape).astype(np.float32)),
+        params)
+    outs = {}
+    for env in ("1", "0"):
+        monkeypatch.setenv("MTTPU_PACKOUT_STRIDED", env)
+        outs[env] = np.asarray(
+            packed_unet_forward(model, params, x, pack_max_channels=256))
+    scale = np.abs(outs["1"]).max() + 1e-8
+    assert np.abs(outs["1"] - outs["0"]).max() / scale < 1e-4
