@@ -541,6 +541,17 @@ def _baseline_volumes_per_min(volume_shape, patch) -> float:
     return a100_flops_per_s * 60.0 / vol_flops
 
 
+def _strip_accel_site(pythonpath: str) -> str:
+    """Drop accelerator-plugin site dirs from a PYTHONPATH string.
+
+    The relay plugin's sitecustomize registers its PJRT client at interpreter
+    startup and a wedged relay blocks that registration even under
+    JAX_PLATFORMS=cpu — a CPU-fallback re-exec must not load it."""
+    import os
+    return os.pathsep.join(p for p in pythonpath.split(os.pathsep)
+                           if p and "axon" not in p)
+
+
 def report(res: dict) -> None:
     volumes_per_min = res["volumes_per_min"]
     volume_shape, patch, on_tpu = res["volume_shape"], res["patch"], res["on_tpu"]
@@ -588,6 +599,13 @@ def main() -> None:
 
     def _rerun_on_cpu():
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # A deeply wedged relay can hang the *interpreter startup* of the
+        # re-exec'd process: the accelerator plugin's sitecustomize registers
+        # the PJRT client before user code runs, and that registration blocks
+        # even under JAX_PLATFORMS=cpu (observed round 5). The CPU fallback
+        # does not need the plugin — strip its site dir from PYTHONPATH.
+        os.environ["PYTHONPATH"] = _strip_accel_site(
+            os.environ.get("PYTHONPATH", ""))
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
     # A wedged relay can make jax.devices() HANG (observed round 5: backend

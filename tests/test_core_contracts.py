@@ -82,3 +82,17 @@ def test_registry():
     assert reg.get("OldName") is A
     with pytest.raises(KeyError):
         reg.get("B")
+
+
+def test_bench_strip_accel_site():
+    """The bench CPU-fallback re-exec must drop the accelerator plugin's
+    site dir from PYTHONPATH: its sitecustomize blocks interpreter startup
+    on a wedged relay even under JAX_PLATFORMS=cpu."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from bench import _strip_accel_site
+    sep = os.pathsep
+    assert _strip_accel_site(f"/root/.axon_site{sep}/opt/lib") == "/opt/lib"
+    assert _strip_accel_site("/root/.axon_site") == ""
+    assert _strip_accel_site(f"{sep}/a{sep}{sep}/b{sep}") == f"/a{sep}/b"
+    assert _strip_accel_site("") == ""
