@@ -501,10 +501,59 @@ def _mt_fwd(x, wp, factors, cin, in_groups):
     return conv3d_same_merged_train(x, wp, factors, cin, in_groups), (x, wp)
 
 
+def merged_bwd_enabled() -> bool:
+    """Merged-tap backward (dx through the merged kernel with the
+    reversed-transposed packed taps; wgrad through the merged operands —
+    12 GEMMs each instead of 27). MTTPU_MERGED_BWD=1 opts in; default OFF
+    until the hardware A/B (scripts/merged_train_ab.py) adjudicates it."""
+    import os
+    return os.environ.get("MTTPU_MERGED_BWD") == "1"
+
+
+def _merged_bwd(x, wp, g, factors, cin, in_groups):
+    """Merged-formulation backward. Raises ValueError when the site doesn't
+    qualify (callers fall back to the dense-formulation backward).
+
+    dx: the packed conv is literally a SAME 3^3 conv on the packed grid, so
+    dL/dx = SAME-conv(g, taps reversed + transposed) — the transposed tap
+    table keeps the phase-block disjointness AND the select rule (a packed
+    tap at offset -1 has blocks only at phase-1 rows; its transpose at
+    offset +1... -1 likewise), so the forward merged kernel runs it
+    unchanged with masks built from g's (phase-major, single-group) lane
+    layout.
+
+    dwp: d(wm)[dz, group] = merged_operand^T @ g (12 GEMMs); the group sum's
+    VJP broadcasts each group's grad to its member taps. Off-block entries
+    of that broadcast differ from the dense conv's free-parameter wgrad,
+    but they are exactly the VJP of the merged primal AND the upstream
+    pack_conv_weights VJP reads only in-block entries, where the two agree
+    (each operand lane carries its phase's own tap shift)."""
+    if tuple(factors) != (2, 2):
+        raise ValueError("merged backward requires (2,2) packing")
+    p = 4
+    pc, pcout = wp.shape[-2], wp.shape[-1]
+    if pc > 128 or pcout > 128:
+        raise ValueError("merged backward requires single-K-tile lanes")
+    cout = pcout // p
+    wdx = jnp.swapaxes(wp[::-1, ::-1, ::-1], 3, 4)
+    dx = pallas_packed_conv3d_merged(
+        g, _prep_from_packed(wdx, factors, cout, None),
+        interpret=_TRAIN_INTERPRET)
+    dwm = pallas_packed_merged_wgrad(x, g, factors, cin, in_groups,
+                                     interpret=_TRAIN_INTERPRET)
+    dwp = _dwp_from_dwm(dwm)[:, :, :, :pc, :pcout]
+    return dx.astype(x.dtype), dwp.astype(wp.dtype)
+
+
 def _mt_bwd(factors, cin, in_groups, res, g):
     from multitalent_tpu.ops import pallas_conv as pcv
     x, wp = res
     g = g.astype(x.dtype)
+    if merged_bwd_enabled():
+        try:
+            return _merged_bwd(x, wp, g, factors, cin, in_groups)
+        except ValueError:
+            pass
     try:
         dx = pcv.conv3d_same_dx(g, wp)
     except ValueError:
@@ -521,6 +570,158 @@ def _mt_bwd(factors, cin, in_groups, res, g):
 
 
 conv3d_same_merged_train.defvjp(_mt_fwd, _mt_bwd)
+
+
+# tap (dy, dx) -> merged group index (see merged_weights_from_packed):
+# 0 center, 1 y-edges, 2 x-edges, 3 corners
+_GIDX = np.asarray([[3, 1, 3], [2, 0, 2], [3, 1, 3]], np.int64)
+
+
+def _dwp_from_dwm(dwm: jax.Array) -> jax.Array:
+    """[3, 4, C, Cout] merged-group wgrad -> [3, 3, 3, C, Cout] packed-tap
+    wgrad: each tap receives its group's grad (the group sum's VJP)."""
+    return dwm[:, _GIDX.reshape(-1)].reshape(
+        3, 3, 3, dwm.shape[-2], dwm.shape[-1])
+
+
+def _merged_wgrad_kernel(x_ref, g_ref, my_ref, mx_ref, out_ref, xblk, sems,
+                         *, bz, by, bx, c, cout, zb, yb, xb):
+    """d(wm)[dz, group] = merged_operand^T @ g: 12 [C, M] x [M, Cout] GEMMs
+    per block (vs the dense wgrad's 27), accumulated into a VMEM-resident
+    fp32 [3, 4, C, Cout] across the sequential grid. The operands are the
+    SAME per-lane selects of shifted halo views the forward merged kernel
+    builds (pallas_conv._wgrad_kernel is the dense analog)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+    g = (i * yb + j) * xb + k
+    n_steps = pl.num_programs(0) * yb * xb
+    slot = jax.lax.rem(g, 2)
+
+    def start_fetch(step, slot):
+        kk = jax.lax.rem(step, xb)
+        jj = jax.lax.rem(step // xb, yb)
+        ii = step // (xb * yb)
+        pltpu.make_async_copy(
+            x_ref.at[ii // zb, pl.ds(jax.lax.rem(ii, zb) * bz, bz + 2),
+                     pl.ds(jj * by, by + 2), pl.ds(kk * bx, bx + 16), :],
+            xblk.at[slot], sems.at[slot]).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_fetch(0, 0)
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(g + 1 < n_steps)
+    def _():
+        start_fetch(g + 1, 1 - slot)
+
+    pltpu.make_async_copy(x_ref.at[0, pl.ds(0, bz + 2), pl.ds(0, by + 2),
+                                   pl.ds(0, bx + 16), :],
+                          xblk.at[slot], sems.at[slot]).wait()
+
+    M = bz * by * bx
+    gs = g_ref[0].reshape(M, cout)
+
+    def body(xy, xxh, xc):
+        my = (my_ref[0, :] > 0.5).reshape(1, 1, 1, c)
+        mx = (mx_ref[0, :] > 0.5).reshape(1, 1, 1, c)
+        xv = xblk[slot]
+        xy[:] = jnp.where(my, xv[:, 0:by, 8:8 + bx, :],
+                          xv[:, 2:by + 2, 8:8 + bx, :])
+        xxh[:] = jnp.where(mx, xv[:, :, 7:7 + bx, :],
+                           xv[:, :, 9:9 + bx, :])
+        xc[:] = jnp.where(my, xxh[:, 0:by], xxh[:, 2:by + 2])
+        for dz in range(3):
+            ops = (xv[dz:dz + bz, 1:1 + by, 8:8 + bx, :],
+                   xy[dz:dz + bz],
+                   xxh[dz:dz + bz, 1:1 + by],
+                   xc[dz:dz + bz])
+            for gi, op in enumerate(ops):
+                out_ref[dz, gi] += jax.lax.dot_general(
+                    op.reshape(M, c), gs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+    pl.run_scoped(body,
+                  pltpu.VMEM((bz + 2, by, bx, c), xblk.dtype),
+                  pltpu.VMEM((bz + 2, by + 2, bx, c), xblk.dtype),
+                  pltpu.VMEM((bz + 2, by, bx, c), xblk.dtype))
+
+
+@lru_cache(maxsize=32)
+def _build_merged_wgrad(n, z, y, x, c, cout, dtype_name, bz, by, bx,
+                        interpret=False):
+    dtype = jnp.dtype(dtype_name)
+    zb = z // bz
+    yb = y // by
+    xb = x // bx
+    grid = (n * zb, yb, xb)
+    kernel = partial(_merged_wgrad_kernel, bz=bz, by=by, bx=bx, c=c,
+                     cout=cout, zb=zb, yb=yb, xb=xb)
+    flops = 2 * 12 * c * cout * n * z * y * x
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # padded x, manual DMA
+            pl.BlockSpec((1, bz, by, bx, cout),
+                         lambda i, j, k, zb=zb: (i // zb, i % zb, j, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # py mask [8, c]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # px mask [8, c]
+        ],
+        out_specs=pl.BlockSpec((3, 4, c, cout), lambda i, j, k: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, 4, c, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, bz + 2, by + 2, bx + 16, c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(n * (z + 2) * (y + 2) * (x + 16) * c * 2
+                            + n * z * y * x * cout * 2),
+            transcendentals=0),
+        interpret=interpret,
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)}),
+    )
+
+
+def pallas_packed_merged_wgrad(x_packed, g, factors, cin: int, in_groups=None,
+                               *, interpret: bool = False):
+    """Merged-group weight gradient of the (2,2) packed SAME conv:
+    x (N,Z,Y,X,P*Cin), cotangent g (N,Z,Y,X,P*Cout) -> [3, 4, P*Cin, P*Cout]
+    fp32 (z-tap, merged group). Raises ValueError when the shape is
+    unsupported (callers fall back to the dense wgrad)."""
+    if tuple(factors) != (2, 2):
+        raise ValueError("merged wgrad requires (2,2) packing")
+    n, z, y, xdim, pc = x_packed.shape
+    ng, zg, yg, xg, pcout = g.shape
+    if (ng, zg, yg, xg) != (n, z, y, xdim):
+        raise ValueError("shape mismatch")
+    if not interpret and jax.default_backend() != "tpu":
+        raise ValueError("pallas merged conv requires a TPU backend")
+    from multitalent_tpu.ops.pallas_conv import _pick_blocks
+    blocks = _pick_blocks(z, y, xdim)
+    if blocks is None:
+        raise ValueError("unsupported shape")
+    bz, by, bx = blocks
+    cp = -(-pc // 128) * 128
+    coutp = -(-pcout // 128) * 128
+    my, px = phase_masks(factors, cin, in_groups)
+    my = np.pad(my, (0, cp - pc))
+    px = np.pad(px, (0, cp - pc))
+    xpad = jnp.pad(x_packed, ((0, 0), (1, 1), (1, 1), (8, 8), (0, cp - pc)))
+    gp = jnp.pad(g, ((0, 0),) * 4 + ((0, coutp - pcout),)) \
+        if coutp != pcout else g
+    call = _build_merged_wgrad(n, z, y, xdim, cp, coutp, str(x_packed.dtype),
+                               bz, by, bx, interpret)
+    dwm = call(xpad, gp.astype(x_packed.dtype),
+               jnp.asarray(np.broadcast_to(my, (8, cp)).copy()),
+               jnp.asarray(np.broadcast_to(px, (8, cp)).copy()))
+    return dwm[:, :, :pc, :pcout]
 
 
 def pallas_packed_conv3d_merged(x_packed: jax.Array, prepared: dict, *,

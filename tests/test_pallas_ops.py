@@ -168,6 +168,52 @@ def test_merged_train_forward_and_grads_match_dense(monkeypatch):
                                    atol=2e-3, rtol=1e-3)
 
 
+def test_merged_bwd_grads_match_dense_through_pack(monkeypatch):
+    """Merged-tap BACKWARD (MTTPU_MERGED_BWD=1: dx via the merged kernel on
+    reversed-transposed packed taps, wgrad via the merged operands): grads of
+    the full train chain x, w -> merged_conv(x, pack_conv_weights(w)) match
+    jax.grad of the dense conv. The comparison goes THROUGH
+    pack_conv_weights: the merged wgrad broadcasts each group's grad to its
+    member taps, which agrees with the dense wgrad only at in-block entries
+    — exactly the ones pack_conv_weights' VJP reads."""
+    import jax
+    import jax.numpy as jnp
+    from multitalent_tpu.ops import pallas_merged_conv as pmc
+    from multitalent_tpu.ops.packed_conv import pack_conv_weights
+    from jax import lax
+
+    monkeypatch.setattr(pmc, "_TRAIN_INTERPRET", True)
+    monkeypatch.setenv("MTTPU_MERGED_BWD", "1")
+    rngl = np.random.RandomState(23)
+    for cin, in_groups in [(30, None), (30, (20, 10))]:
+        x = jnp.asarray(rngl.randn(1, 8, 16, 16, 4 * cin).astype(np.float32))
+        w = jnp.asarray(
+            rngl.randn(3, 3, 3, cin, 24).astype(np.float32) * 0.1)
+        g = jnp.asarray(
+            rngl.randn(1, 8, 16, 16, 4 * 24).astype(np.float32))
+
+        def dense(xv, wv):
+            pad = tuple((1, 1) for _ in range(3))
+            return lax.conv_general_dilated(
+                xv, pack_conv_weights(wv, (2, 2), in_groups), (1, 1, 1),
+                pad, dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+        def merged(xv, wv):
+            return pmc.conv3d_same_merged_train(
+                xv, pack_conv_weights(wv, (2, 2), in_groups), (2, 2), cin,
+                in_groups)
+
+        np.testing.assert_allclose(np.asarray(merged(x, w)),
+                                   np.asarray(dense(x, w)),
+                                   atol=2e-4, rtol=1e-3)
+        dx_r, dw_r = jax.vjp(dense, x, w)[1](g)
+        dx_m, dw_m = jax.vjp(merged, x, w)[1](g)
+        np.testing.assert_allclose(np.asarray(dx_m), np.asarray(dx_r),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(dw_m), np.asarray(dw_r),
+                                   atol=2e-3, rtol=1e-3)
+
+
 def test_merged2_conv_interpret_matches_grouped_dense():
     """Two-input merged-tap conv (decoder concat conv without the concat) vs
     the dense grouped packed conv, interpret mode, equal and unequal group
